@@ -1,0 +1,101 @@
+"""Pure-numpy oracle for sketch comparison and distance estimation.
+
+Contract: SURVEY.md §2.1 (components C7, C8; reference source unavailable —
+SURVEY.md §0).  Estimators follow the Mash paper (Ondov et al. 2016):
+
+  * Jaccard from two bottom-s sketches: let X = bottom_s(S(A) ∪ S(B));
+    j_hat = |X ∩ S(A) ∩ S(B)| / |X|.
+  * Mash distance: D = -(1/k) * ln(2 j / (1 + j)); D = 1 when j = 0.
+  * ANI = 1 - D (clamped to [0, 1]).
+  * Containment of a sketch in a hash set: c = |S(A) ∩ H| / |S(A)|.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import nthash
+
+
+def intersection_size(a: np.ndarray, b: np.ndarray) -> int:
+    """|A ∩ B| for two sorted-distinct uint64 arrays (sentinel excluded)."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    common = np.intersect1d(a, b, assume_unique=True)
+    return int(np.count_nonzero(common != nthash.UINT64_MAX))
+
+
+def mash_jaccard(a: np.ndarray, b: np.ndarray, s: int):
+    """(shared, union_size, j_hat) via the Mash bottom-s-of-union estimator.
+
+    a, b: sorted distinct uint64 sketches (no sentinel entries).
+    union_size = |X| = min(s, |A ∪ B|); shared = |X ∩ A ∩ B|.
+    """
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    union = np.union1d(a, b)  # sorted distinct
+    x = union[:s]
+    if len(x) == 0:
+        return 0, 0, 0.0
+    common = np.intersect1d(a, b, assume_unique=True)
+    shared = int(np.count_nonzero(np.isin(x, common, assume_unique=True)))
+    return shared, len(x), shared / len(x)
+
+
+def mash_distance(j: float, k: int) -> float:
+    """Mash distance from a Jaccard estimate (Mash paper Eq. 4)."""
+    if j <= 0.0:
+        return 1.0
+    if j >= 1.0:
+        return 0.0
+    d = -math.log(2.0 * j / (1.0 + j)) / k
+    return min(max(d, 0.0), 1.0)
+
+
+def ani_from_distance(d: float) -> float:
+    return min(max(1.0 - d, 0.0), 1.0)
+
+
+def containment(query_sketch: np.ndarray, target_hashes: np.ndarray) -> float:
+    """c = |S(query) ∩ H(target)| / |S(query)| (0.0 for an empty sketch)."""
+    q = np.asarray(query_sketch, dtype=np.uint64)
+    q = q[q != nthash.UINT64_MAX]
+    if len(q) == 0:
+        return 0.0
+    t = np.unique(np.asarray(target_hashes, dtype=np.uint64))
+    shared = int(np.count_nonzero(np.isin(q, t, assume_unique=True)))
+    return shared / len(q)
+
+
+def ani_from_containment(c: float, k: int) -> float:
+    """ANI estimate from containment: 1 + ln(c)/k, clamped (SURVEY.md §2.1)."""
+    if c <= 0.0:
+        return 0.0
+    return min(max(1.0 + math.log(c) / k, 0.0), 1.0)
+
+
+def compare_sketches(a: np.ndarray, b: np.ndarray, k: int, s: int) -> dict:
+    """Full pairwise record (matches one TSV row of the `dist` command)."""
+    shared, union_size, j = mash_jaccard(a, b, s)
+    d = mash_distance(j, k)
+    return {
+        "shared": shared,
+        "union": union_size,
+        "jaccard": j,
+        "distance": d,
+        "ani": ani_from_distance(d),
+    }
+
+
+def all_vs_all(sketches, k: int, s: int):
+    """Upper-triangle pairwise comparison of a list of sketches (oracle)."""
+    n = len(sketches)
+    rows = []
+    for i in range(n):
+        for jdx in range(i + 1, n):
+            rec = compare_sketches(sketches[i], sketches[jdx], k, s)
+            rec["i"], rec["j"] = i, jdx
+            rows.append(rec)
+    return rows

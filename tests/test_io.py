@@ -1,0 +1,63 @@
+"""FASTA/FASTQ reader tests (component C1, SURVEY.md §2)."""
+
+import numpy as np
+
+from miekki_tpu.io import encode, reader
+
+from fixtures import random_seq, write_fasta, write_fastq
+
+
+class TestFasta:
+    def test_multiline_records(self, tmp_path):
+        rng = np.random.default_rng(1)
+        recs = [("g1 extra tokens", random_seq(rng, 150)), ("g2", random_seq(rng, 35))]
+        p = write_fasta(tmp_path / "x.fa", recs, line_width=40)
+        got = list(reader.read_records(p))
+        assert [n for n, _ in got] == ["g1", "g2"]
+        assert got[0][1] == recs[0][1]
+        assert got[1][1] == recs[1][1]
+
+    def test_gzip_detected_by_magic(self, tmp_path):
+        rng = np.random.default_rng(2)
+        recs = [("g", random_seq(rng, 500))]
+        # wrong extension on purpose: detection is by magic bytes
+        p = write_fasta(tmp_path / "x.fa", recs, gz=True)
+        got = list(reader.read_records(p))
+        assert got[0] == ("g", recs[0][1])
+
+    def test_empty_sequence_lines(self, tmp_path):
+        p = tmp_path / "x.fa"
+        p.write_bytes(b">a\nACGT\n\nGGTT\n>b\nTTTT\n")
+        got = list(reader.read_records(p))
+        assert got == [("a", b"ACGTGGTT"), ("b", b"TTTT")]
+
+
+class TestFastq:
+    def test_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(3)
+        recs = [(f"r{i}", random_seq(rng, 100)) for i in range(10)]
+        p = write_fastq(tmp_path / "x.fq", recs)
+        got = list(reader.read_records(p))
+        assert got == recs
+
+    def test_gzip(self, tmp_path):
+        rng = np.random.default_rng(4)
+        recs = [(f"r{i}", random_seq(rng, 80)) for i in range(5)]
+        p = write_fastq(tmp_path / "x.fq.gz", recs, gz=True)
+        got = list(reader.read_records(p))
+        assert got == recs
+
+
+class TestEncoded:
+    def test_read_encoded(self, tmp_path):
+        p = tmp_path / "x.fa"
+        p.write_bytes(b">a\nACGTN\n")
+        [(name, codes)] = list(reader.read_encoded(p))
+        assert name == "a"
+        assert codes.tolist() == [0, 1, 2, 3, 4]
+
+    def test_pack_records_separator(self):
+        a = encode.encode_str("ACGT")
+        b = encode.encode_str("TTTT")
+        packed = encode.pack_records([a, b], k=3)
+        assert packed.tolist() == [0, 1, 2, 3, 4, 4, 3, 3, 3, 3]
