@@ -10,4 +10,19 @@ scaled over TPU meshes with sharded sketch databases.
 
 from .params import HASH_VERSION, SketchParams  # noqa: F401
 
+
+def __getattr__(name):
+    # Lazy: importing miekki_tpu must not pull in jax (oracle/IO users).
+    if name in ("build_index", "sketch_file", "dist", "dist_iter", "screen",
+                "rows_to_tsv"):
+        from . import engine
+
+        return getattr(engine, name)
+    if name == "SketchIndex":
+        from .index.store import SketchIndex
+
+        return SketchIndex
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __version__ = "0.1.0"

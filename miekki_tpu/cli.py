@@ -1,0 +1,147 @@
+"""Command-line interface (component C10, SURVEY.md §2) in the Mash idiom:
+
+  python -m miekki_tpu.cli sketch  <genomes...> -o db.npz  [-k 31] [-s 10000]
+  python -m miekki_tpu.cli dist    <db.npz|genomes...> [--ref db2.npz] -o out.tsv
+  python -m miekki_tpu.cli screen  <db.npz> <reads.fq[.gz]> -o out.tsv
+  python -m miekki_tpu.cli info    <db.npz>
+
+Inputs ending in .npz are loaded as sketch indexes; anything else is treated
+as a FASTA/FASTQ(.gz) genome file and sketched on the fly.  `--profile DIR`
+wraps the run in a jax.profiler trace (SURVEY.md §5 "Tracing / profiling").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from . import engine
+from .index.store import SketchIndex
+from .params import SketchParams
+from .utils import metrics as _metrics
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-k", type=int, default=31, help="k-mer length (default 31)")
+    p.add_argument("-s", type=int, default=10_000, help="sketch size (default 10000)")
+    p.add_argument("--chunk", type=int, default=engine.DEFAULT_CHUNK,
+                   help="bases per device hashing step")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="write a jax.profiler trace to DIR")
+    p.add_argument("--metrics", metavar="FILE", default=None,
+                   help="write phase metrics JSON to FILE")
+
+
+def _load_or_build(paths, args) -> SketchIndex:
+    if len(paths) == 1 and str(paths[0]).endswith(".npz"):
+        return SketchIndex.load(paths[0])
+    params = SketchParams(k=args.k, s=args.s)
+    return engine.build_index(paths, params, chunk=args.chunk)
+
+
+def _out(args):
+    return open(args.output, "w") if args.output != "-" else sys.stdout
+
+
+def cmd_sketch(args) -> int:
+    params = SketchParams(k=args.k, s=args.s)
+    t0 = time.perf_counter()
+    index = engine.build_index(args.genomes, params, chunk=args.chunk)
+    dt = time.perf_counter() - t0
+    index.save(args.output)
+    total = int(index.sizes().sum())
+    _metrics.emit(args.metrics, phase="sketch", genomes=len(index),
+                  sketch_hashes=total, seconds=dt)
+    print(f"sketched {len(index)} genomes (k={params.k}, s={params.s}) "
+          f"in {dt:.2f}s -> {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_dist(args) -> int:
+    index_a = _load_or_build(args.query, args)
+    index_b = SketchIndex.load(args.ref) if args.ref else None
+    t0 = time.perf_counter()
+    rows = engine.dist(index_a, index_b, tile=args.tile)
+    dt = time.perf_counter() - t0
+    with _out(args) as f:
+        f.write(engine.rows_to_tsv(rows))
+    _metrics.emit(args.metrics, phase="dist", pairs=len(rows), seconds=dt,
+                  pairs_per_s=len(rows) / dt if dt > 0 else 0.0)
+    print(f"compared {len(rows)} pairs in {dt:.2f}s", file=sys.stderr)
+    return 0
+
+
+def cmd_screen(args) -> int:
+    index = SketchIndex.load(args.db)
+    t0 = time.perf_counter()
+    rows = engine.screen(index, args.reads, flat=args.flat)
+    dt = time.perf_counter() - t0
+    cols = ("reference", "hits", "sketch_size", "containment", "ani")
+    with _out(args) as f:
+        f.write(engine.rows_to_tsv(rows, columns=cols))
+    _metrics.emit(args.metrics, phase="screen", genomes=len(rows), seconds=dt)
+    print(f"screened reads against {len(rows)} genomes in {dt:.2f}s",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_info(args) -> int:
+    index = SketchIndex.load(args.db)
+    print(json.dumps({
+        "genomes": len(index),
+        "params": index.params.to_dict(),
+        "sketch_sizes": {"min": int(index.sizes().min()) if len(index) else 0,
+                         "max": int(index.sizes().max()) if len(index) else 0},
+        "names": index.names[:10] + (["..."] if len(index) > 10 else []),
+    }, indent=2))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="miekki-tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("sketch", help="sketch genomes into an index file")
+    p.add_argument("genomes", nargs="+")
+    p.add_argument("-o", "--output", required=True, help="output index (.npz)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_sketch)
+
+    p = sub.add_parser("dist", help="pairwise Mash distances")
+    p.add_argument("query", nargs="+", help="index (.npz) or genome files")
+    p.add_argument("--ref", default=None, help="reference index (.npz); "
+                   "default: all-vs-all on the query set")
+    p.add_argument("-o", "--output", default="-", help="output TSV (default stdout)")
+    p.add_argument("--tile", type=int, default=engine.DEFAULT_TILE)
+    _add_common(p)
+    p.set_defaults(fn=cmd_dist)
+
+    p = sub.add_parser("screen", help="containment of DB genomes in a read set")
+    p.add_argument("db", help="sketch index (.npz)")
+    p.add_argument("reads", help="FASTA/FASTQ(.gz) read file")
+    p.add_argument("-o", "--output", default="-")
+    p.add_argument("--flat", type=int, default=engine.DEFAULT_READ_FLAT,
+                   help="packed bases per screening batch")
+    _add_common(p)
+    p.set_defaults(fn=cmd_screen)
+
+    p = sub.add_parser("info", help="describe a sketch index")
+    p.add_argument("db")
+    p.set_defaults(fn=cmd_info)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if getattr(args, "profile", None):
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            return args.fn(args)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,118 @@
+"""Sketch index: the on-disk and in-memory sketch database (component C6).
+
+SURVEY.md §2 C6: the file format is OURS to define (reference source absent;
+parity target is the distance table, not file bytes).  Format: a `.npz`
+containing the (hi, lo) uint32 planes of the padded [N, s] sketch table plus a
+JSON header (params, names, per-genome valid counts).  The sketch DB file is
+the checkpoint between the sketch and compare phases (SURVEY.md §5
+"Checkpoint / resume"); sharded save/load supports the per-host DB sharding
+of SURVEY.md §2's parallelism table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Sequence
+
+import numpy as np
+
+from ..oracle import nthash
+from ..params import SketchParams
+
+_FORMAT_VERSION = 1
+
+
+class SketchIndex:
+    """In-memory [N, s] sketch table: sorted ascending, UINT64_MAX-padded."""
+
+    def __init__(self, params: SketchParams, names: List[str], hi: np.ndarray, lo: np.ndarray):
+        if hi.shape != lo.shape or hi.ndim != 2 or hi.shape[1] != params.s:
+            raise ValueError(f"bad sketch table shape: {hi.shape} for s={params.s}")
+        if len(names) != hi.shape[0]:
+            raise ValueError("names/table length mismatch")
+        self.params = params
+        self.names = list(names)
+        self.hi = np.ascontiguousarray(hi, dtype=np.uint32)
+        self.lo = np.ascontiguousarray(lo, dtype=np.uint32)
+
+    def __len__(self) -> int:
+        return self.hi.shape[0]
+
+    @classmethod
+    def from_sketches(
+        cls, sketches: Sequence[np.ndarray], names: Sequence[str], params: SketchParams
+    ) -> "SketchIndex":
+        n = len(sketches)
+        table = np.full((n, params.s), nthash.UINT64_MAX, dtype=np.uint64)
+        for i, sk in enumerate(sketches):
+            sk = np.asarray(sk, dtype=np.uint64)
+            if len(sk) > params.s:
+                raise ValueError(f"sketch {i} longer than s={params.s}")
+            table[i, : len(sk)] = sk
+        hi = (table >> np.uint64(32)).astype(np.uint32)
+        lo = (table & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        return cls(params, list(names), hi, lo)
+
+    def sketch_u64(self, i: int) -> np.ndarray:
+        """Valid (non-sentinel) sketch values of genome i as uint64."""
+        row = (self.hi[i].astype(np.uint64) << np.uint64(32)) | self.lo[i]
+        return row[row != nthash.UINT64_MAX]
+
+    def sizes(self) -> np.ndarray:
+        full = (self.hi == 0xFFFFFFFF) & (self.lo == 0xFFFFFFFF)
+        return (~full).sum(axis=1).astype(np.int64)
+
+    # ---------- persistence ----------
+
+    def _header(self) -> dict:
+        return {
+            "format_version": _FORMAT_VERSION,
+            "params": self.params.to_dict(),
+            "names": self.names,
+        }
+
+    def save(self, path: str | os.PathLike) -> None:
+        np.savez_compressed(
+            path,
+            hi=self.hi,
+            lo=self.lo,
+            header=np.frombuffer(json.dumps(self._header()).encode(), dtype=np.uint8),
+        )
+
+    @classmethod
+    def load(cls, path: str | os.PathLike) -> "SketchIndex":
+        with np.load(path) as z:
+            header = json.loads(bytes(z["header"]).decode())
+            if header.get("format_version") != _FORMAT_VERSION:
+                raise ValueError(f"unsupported index format: {header.get('format_version')}")
+            params = SketchParams.from_dict(header["params"])
+            return cls(params, header["names"], z["hi"], z["lo"])
+
+    # ---------- sharding (per-host DB shards, SURVEY.md §2) ----------
+
+    def save_sharded(self, prefix: str, n_shards: int) -> List[str]:
+        """Write n_shards files `<prefix>.shard{i:04d}-of-{n}.npz`, splitting
+        genomes contiguously along N (genome i → shard i * n // N boundaries)."""
+        bounds = np.linspace(0, len(self), n_shards + 1).astype(int)
+        paths = []
+        for i in range(n_shards):
+            a, b = bounds[i], bounds[i + 1]
+            part = SketchIndex(self.params, self.names[a:b], self.hi[a:b], self.lo[a:b])
+            p = f"{prefix}.shard{i:04d}-of-{n_shards:04d}.npz"
+            part.save(p)
+            paths.append(p)
+        return paths
+
+    @classmethod
+    def load_sharded(cls, paths: Sequence[str]) -> "SketchIndex":
+        parts = [cls.load(p) for p in sorted(paths)]
+        params = parts[0].params
+        for p in parts[1:]:
+            params.validate_compatible(p.params)
+        return cls(
+            params,
+            [n for p in parts for n in p.names],
+            np.concatenate([p.hi for p in parts]),
+            np.concatenate([p.lo for p in parts]),
+        )

@@ -1,0 +1,115 @@
+"""Device sketch intersection (components C7-C8, SURVEY.md §2; §7 items 3-4).
+
+TPU-first design: no two-pointer loops.  For a pair of sorted, distinct,
+INF-padded sketches A, B (each [(s,), (s,)] uint32 pairs):
+
+  merged   = sort_u64(concat(A, B))                       # [2s]
+  dup[i]   = merged[i] == merged[i-1]  (and not INF)      # second of a pair
+  distinct = valid & ~dup
+  rank     = inclusive cumsum(distinct)                   # 1-based distinct rank
+  X        = the s smallest distinct union values (rank <= s)
+
+  shared_in_x = Σ dup & (rank <= s)     → Mash Jaccard numerator |X ∩ A ∩ B|
+  union_size  = min(s, Σ distinct)      → |X|
+  inter_full  = Σ dup                   → |A ∩ B| (containment numerator)
+
+All outputs are exact integers; Jaccard/Mash-distance/ANI floats are computed
+on the host with the same float64 formulas as the oracle
+(miekki_tpu.oracle.compare), so distance tables are bitwise-reproducible.
+
+Membership testing for read screening uses a branch-free binary search
+(lower_bound) on (hi, lo) pairs — O(log m) gathers per needle, vectorized.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import u64
+
+
+def pair_counts(a: u64.Pair, b: u64.Pair, s: int):
+    """Exact counts for one sketch pair.  Returns dict of int32 scalars:
+    shared_in_x, union_size, inter_full, n_a, n_b."""
+    hi = jnp.concatenate([a[0], b[0]])
+    lo = jnp.concatenate([a[1], b[1]])
+    hi, lo = u64.sort((hi, lo))
+    valid = ~((hi == u64.INF_HI) & (lo == u64.INF_LO))
+    dup = jnp.concatenate(
+        [jnp.zeros(1, jnp.bool_), (hi[1:] == hi[:-1]) & (lo[1:] == lo[:-1])]
+    )
+    dup = dup & valid
+    distinct = valid & ~dup
+    rank = jnp.cumsum(distinct.astype(jnp.int32))
+    in_x = rank <= s
+    return {
+        "shared_in_x": jnp.sum((dup & in_x).astype(jnp.int32)),
+        "union_size": jnp.minimum(jnp.sum(distinct.astype(jnp.int32)), s),
+        "inter_full": jnp.sum(dup.astype(jnp.int32)),
+        "n_a": jnp.sum((~u64.is_inf(a)).astype(jnp.int32)),
+        "n_b": jnp.sum((~u64.is_inf(b)).astype(jnp.int32)),
+    }
+
+
+@partial(jax.jit, static_argnames=("s",))
+def tile_counts(rows: u64.Pair, cols: u64.Pair, s: int):
+    """All-pairs counts for a tile: rows [(Ti, s)], cols [(Tj, s)] →
+    dict of int32 [Ti, Tj] arrays.  The inner unit of the all-vs-all
+    scheduler (SURVEY.md §3.2)."""
+    f = jax.vmap(
+        jax.vmap(lambda a0, a1, b0, b1: pair_counts((a0, a1), (b0, b1), s),
+                 in_axes=(None, None, 0, 0)),
+        in_axes=(0, 0, None, None),
+    )
+    return f(rows[0], rows[1], cols[0], cols[1])
+
+
+def searchsorted_u64(hay: u64.Pair, needles: u64.Pair) -> jax.Array:
+    """Branch-free lower_bound of each needle in a sorted u64 haystack.
+
+    hay: [(m,), (m,)] sorted ascending (INF padding sorts last).
+    needles: any shape.  Returns int32 insertion indices (same shape).
+    """
+    m = hay[0].shape[0]
+    n_steps = max(1, int(np.ceil(np.log2(m + 1))))
+    pow2 = 1 << n_steps  # smallest power of two >= m+1
+
+    idx = jnp.zeros(needles[0].shape, jnp.int32)
+    step = pow2 >> 1
+    while step > 0:
+        cand = idx + step
+        ok = cand <= m
+        probe = jnp.clip(cand - 1, 0, m - 1)
+        h = (hay[0][probe], hay[1][probe])
+        advance = ok & u64.less(h, needles)
+        idx = jnp.where(advance, cand, idx)
+        step >>= 1
+    return idx
+
+
+def member_u64(hay: u64.Pair, needles: u64.Pair) -> jax.Array:
+    """True where a needle occurs in the sorted haystack (INF never matches)."""
+    idx = searchsorted_u64(hay, needles)
+    m = hay[0].shape[0]
+    probe = jnp.clip(idx, 0, m - 1)
+    h = (hay[0][probe], hay[1][probe])
+    hit = (idx < m) & u64.equal(h, needles) & ~u64.is_inf(needles)
+    return hit
+
+
+@jax.jit
+def containment_counts(db: u64.Pair, read_hashes: u64.Pair):
+    """Screening inner op (SURVEY.md §3.3): per-genome |S(g) ∩ H(reads)|.
+
+    db: [(N, s)] sorted sketches; read_hashes: [(m,)] sorted distinct hashes
+    (INF-padded).  Returns (hits int32[N], sketch_sizes int32[N]).
+    """
+    hits = jax.vmap(lambda h0, h1: jnp.sum(
+        member_u64(read_hashes, (h0, h1)).astype(jnp.int32)
+    ))(db[0], db[1])
+    sizes = jnp.sum(~u64.is_inf(db), axis=-1).astype(jnp.int32)
+    return hits, sizes

@@ -1,0 +1,82 @@
+"""CLI tests (component C10) — golden TSV vs oracle."""
+
+import json
+
+import numpy as np
+import pytest
+
+from miekki_tpu import cli, engine
+from miekki_tpu.io import encode
+from miekki_tpu.oracle import compare as oracle_compare
+from miekki_tpu.oracle import sketch as oracle_sketch
+
+from fixtures import make_genome_family, reads_from_genome, write_fasta, write_fastq
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(55)
+    genomes = make_genome_family(rng, 4, 15_000, sub_rate=0.04)
+    paths = [str(write_fasta(tmp / f"g{i}.fa", [(f"g{i}", g)])) for i, g in enumerate(genomes)]
+    reads = reads_from_genome(rng, genomes[1], 100, 100)
+    reads_path = str(write_fastq(tmp / "reads.fq.gz", [(f"r{i}", r) for i, r in enumerate(reads)], gz=True))
+    return tmp, genomes, paths, reads_path
+
+
+def test_sketch_dist_screen_info(setup, capsys):
+    tmp, genomes, paths, reads_path = setup
+    db = str(tmp / "db.npz")
+    k, s = 21, 400
+
+    assert cli.main(["sketch", *paths, "-o", db, "-k", str(k), "-s", str(s)]) == 0
+
+    out_tsv = str(tmp / "dist.tsv")
+    metrics = str(tmp / "metrics.jsonl")
+    assert cli.main(["dist", db, "-o", out_tsv, "--tile", "3", "--metrics", metrics]) == 0
+    lines = open(out_tsv).read().splitlines()
+    assert lines[0].startswith("#query\treference")
+    assert len(lines) == 1 + 6  # 4 choose 2
+
+    # golden parity: TSV values equal oracle-computed values
+    oracle_sks = [oracle_sketch.sketch_codes(encode.encode(g), k, s) for g in genomes]
+    want_rows = oracle_compare.all_vs_all(oracle_sks, k, s)
+    want_tsv = engine.rows_to_tsv(
+        [
+            {
+                "query": f"{paths[r['i']]}",
+                "reference": f"{paths[r['j']]}",
+                "shared": r["shared"],
+                "union": r["union"],
+                "jaccard": r["jaccard"],
+                "mash_distance": r["distance"],
+                "ani": r["ani"],
+            }
+            for r in want_rows
+        ]
+    )
+    assert open(out_tsv).read() == want_tsv
+
+    # metrics were emitted
+    rows = [json.loads(l) for l in open(metrics)]
+    assert rows[0]["phase"] == "dist" and rows[0]["pairs"] == 6
+
+    screen_tsv = str(tmp / "screen.tsv")
+    assert cli.main(["screen", db, reads_path, "-o", screen_tsv, "--flat", "4096"]) == 0
+    slines = open(screen_tsv).read().splitlines()
+    assert len(slines) == 1 + 4
+    # genome 1 sourced the reads → top containment
+    best = max(slines[1:], key=lambda l: float(l.split("\t")[3]))
+    assert best.split("\t")[0].endswith("g1.fa")
+
+    assert cli.main(["info", db]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["genomes"] == 4 and info["params"]["k"] == k
+
+
+def test_dist_from_fasta_directly(setup):
+    tmp, genomes, paths, _ = setup
+    out_tsv = str(tmp / "direct.tsv")
+    assert cli.main(["dist", *paths[:2], "-o", out_tsv, "-k", "21", "-s", "300"]) == 0
+    lines = open(out_tsv).read().splitlines()
+    assert len(lines) == 2

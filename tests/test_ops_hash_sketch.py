@@ -1,0 +1,126 @@
+"""Device hashing + sketching vs oracle: bitwise parity (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from miekki_tpu.io import encode
+from miekki_tpu.ops import hash as ops_hash
+from miekki_tpu.ops import sketch as ops_sketch
+from miekki_tpu.ops import u64
+from miekki_tpu.oracle import nthash, sketch as oracle_sketch
+
+
+def device_hashes(codes, k):
+    (hi, lo), valid = ops_hash.hash_windows(jnp.asarray(codes, jnp.int32), k)
+    return u64.join(np.asarray(hi), np.asarray(lo)), np.asarray(valid)
+
+
+class TestHashWindows:
+    @pytest.mark.parametrize("k", [1, 5, 31, 32, 64])
+    def test_bitwise_parity_clean(self, k):
+        rng = np.random.default_rng(k)
+        codes = rng.integers(0, 4, size=400)
+        want_h, want_v = nthash.hash_kmers(codes, k)
+        got_h, got_v = device_hashes(codes, k)
+        np.testing.assert_array_equal(got_v, want_v)
+        np.testing.assert_array_equal(got_h[got_v], want_h[want_v])
+        # masked positions must carry the sentinel
+        assert (got_h[~got_v] == nthash.UINT64_MAX).all()
+
+    @pytest.mark.parametrize("k", [5, 31])
+    def test_bitwise_parity_with_invalid(self, k):
+        rng = np.random.default_rng(50 + k)
+        codes = rng.integers(0, 4, size=600)
+        codes[rng.integers(0, 600, size=25)] = 4
+        want_h, want_v = nthash.hash_kmers(codes, k)
+        got_h, got_v = device_hashes(codes, k)
+        np.testing.assert_array_equal(got_v, want_v)
+        np.testing.assert_array_equal(got_h[got_v], want_h[want_v])
+
+    def test_batched_rows(self):
+        rng = np.random.default_rng(77)
+        k = 21
+        rows = rng.integers(0, 4, size=(4, 200))
+        (hi, lo), valid = ops_hash.hash_windows(jnp.asarray(rows, jnp.int32), k)
+        for i in range(4):
+            want_h, want_v = nthash.hash_kmers(rows[i], k)
+            got = u64.join(np.asarray(hi[i]), np.asarray(lo[i]))
+            np.testing.assert_array_equal(np.asarray(valid[i]), want_v)
+            np.testing.assert_array_equal(got[np.asarray(valid[i])], want_h[want_v])
+
+    def test_long_sequence_prefix_scan(self):
+        """Exercise positions past 64 (rotation-amount wraparound)."""
+        rng = np.random.default_rng(88)
+        codes = rng.integers(0, 4, size=5000)
+        k = 31
+        want_h, _ = nthash.hash_kmers(codes, k)
+        got_h, got_v = device_hashes(codes, k)
+        assert got_v.all()
+        np.testing.assert_array_equal(got_h, want_h)
+
+
+class TestSketchDevice:
+    @pytest.mark.parametrize("chunk", [64, 4096])
+    def test_matches_oracle_single_record(self, chunk):
+        rng = np.random.default_rng(9)
+        codes = rng.integers(0, 4, size=20_000).astype(np.uint8)
+        k, s = 21, 500
+        got = ops_sketch.sketch_codes_device(codes, k, s, chunk=chunk)
+        want = oracle_sketch.sketch_codes(codes, k, s)
+        np.testing.assert_array_equal(got, want)
+
+    def test_matches_oracle_with_invalid_bases(self):
+        rng = np.random.default_rng(10)
+        codes = rng.integers(0, 4, size=10_000).astype(np.uint8)
+        codes[rng.integers(0, 10_000, size=200)] = 4
+        k, s = 31, 300
+        got = ops_sketch.sketch_codes_device(codes, k, s, chunk=777)
+        want = oracle_sketch.sketch_codes(codes, k, s)
+        np.testing.assert_array_equal(got, want)
+
+    def test_multi_record_packed(self):
+        rng = np.random.default_rng(11)
+        recs = [rng.integers(0, 4, size=n).astype(np.uint8) for n in (3000, 50, 4000)]
+        k, s = 21, 400
+        packed = encode.pack_records(recs, k)
+        got = ops_sketch.sketch_codes_device(packed, k, s, chunk=512)
+        want = oracle_sketch.sketch_records(recs, k, s)
+        np.testing.assert_array_equal(got, want)
+
+    def test_fewer_distinct_than_s(self):
+        codes = encode.encode_str("ACGT" * 100)  # tiny distinct k-mer set
+        k, s = 5, 1000
+        got = ops_sketch.sketch_codes_device(codes, k, s)
+        want = oracle_sketch.sketch_codes(codes, k, s)
+        assert len(want) < s
+        np.testing.assert_array_equal(got, want)
+
+    def test_chunk_size_invariance(self):
+        rng = np.random.default_rng(12)
+        codes = rng.integers(0, 4, size=7919).astype(np.uint8)
+        k, s = 31, 128
+        a = ops_sketch.sketch_codes_device(codes, k, s, chunk=100)
+        b = ops_sketch.sketch_codes_device(codes, k, s, chunk=4096)
+        np.testing.assert_array_equal(a, b)
+
+    def test_merge_into_sketch_incremental(self):
+        """Streaming merge == batch bottom-s on the union."""
+        rng = np.random.default_rng(13)
+        s = 64
+        sk = ops_sketch.empty_sketch(s)
+        seen = []
+        for _ in range(5):
+            h = rng.integers(0, 2**64, size=200, dtype=np.uint64)
+            h[rng.integers(0, 200, 10)] = h[0]  # dups
+            seen.append(h)
+            hi, lo = u64.split(h)
+            sk = ops_sketch.merge_into_sketch(
+                sk, (jnp.asarray(hi), jnp.asarray(lo)), s
+            )
+        got = u64.join(np.asarray(sk[0]), np.asarray(sk[1]))
+        want = oracle_sketch.pad_sketch(
+            oracle_sketch.bottom_s(np.concatenate(seen), s), s
+        )
+        np.testing.assert_array_equal(got, want)
