@@ -1,0 +1,79 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: sketching throughput in Gbases/s/chip (BASELINE.json
+"metric"), measured on the fused device pipeline (hash → bottom-s merge)
+over synthetic genome chunks.  vs_baseline is against the roofline-derived
+build anchor of 1.0 Gbase/s/chip (BASELINE.md "build roofline anchor" —
+the reference publishes no numbers; see SURVEY.md §6).
+
+Secondary metrics (pair comparisons/s on the tiled intersection kernel) are
+reported in the "extra" field.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_GBASES = 1.0  # Gbase/s/chip — BASELINE.md roofline anchor
+
+
+def _time(fn, *args, warmup: int = 2, iters: int = 5) -> float:
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_sketch(k: int = 31, s: int = 10_000, chunk: int = 1 << 20,
+                 n_chunks: int = 16) -> float:
+    """Gbases/s through sketch_chunked (the sketch-phase hot path)."""
+    import jax.numpy as jnp
+    from miekki_tpu.ops import sketch as _sketch
+
+    rng = np.random.default_rng(0)
+    rows = rng.integers(0, 4, size=(n_chunks, chunk + k - 1), dtype=np.int64)
+    rows = jnp.asarray(rows, jnp.int32)
+    dt = _time(lambda r: _sketch.sketch_chunked(r, k, s), rows)
+    bases = n_chunks * chunk
+    return bases / dt / 1e9
+
+
+def bench_pairs(s: int = 10_000, tile: int = 128) -> float:
+    """Sketch-pair comparisons/s through the tiled intersection kernel."""
+    import jax.numpy as jnp
+    from miekki_tpu.ops import intersect as _intersect
+
+    rng = np.random.default_rng(1)
+    table = np.sort(rng.integers(0, 2**63, size=(2 * tile, s), dtype=np.uint64),
+                    axis=-1)
+    hi = jnp.asarray((table >> np.uint64(32)).astype(np.uint32))
+    lo = jnp.asarray((table & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    rows = (hi[:tile], lo[:tile])
+    cols = (hi[tile:], lo[tile:])
+    dt = _time(lambda r0, r1, c0, c1: _intersect.tile_counts((r0, r1), (c0, c1), s),
+               rows[0], rows[1], cols[0], cols[1])
+    return tile * tile / dt
+
+
+def main() -> None:
+    gbases = bench_sketch()
+    pairs = bench_pairs()
+    print(json.dumps({
+        "metric": "sketch_throughput",
+        "value": round(gbases, 4),
+        "unit": "Gbases/s/chip",
+        "vs_baseline": round(gbases / BASELINE_GBASES, 4),
+        "extra": {"pair_comparisons_per_s": round(pairs, 1)},
+    }))
+
+
+if __name__ == "__main__":
+    main()

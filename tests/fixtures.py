@@ -69,3 +69,21 @@ def reads_from_genome(
 ) -> list[bytes]:
     starts = rng.integers(0, max(1, len(genome) - read_len), size=n_reads)
     return [genome[s : s + read_len] for s in starts]
+
+
+def random_genome_fasta(
+    path: Path, rng: np.random.Generator, n_records: int = 1, length: int = 1000,
+    n_prob: float = 0.0, gz: bool = False,
+) -> Path:
+    """Write a random multi-record FASTA genome; returns the path."""
+    records = [(f"rec{i}", random_seq(rng, length, n_prob)) for i in range(n_records)]
+    return write_fasta(path, records, gz=gz)
+
+
+def random_reads_fastq(
+    path: Path, rng: np.random.Generator, n_reads: int = 100, length: int = 100,
+    gz: bool = False,
+) -> Path:
+    """Write a random FASTQ read set; returns the path."""
+    records = [(f"read{i}", random_seq(rng, length)) for i in range(n_reads)]
+    return write_fastq(path, records, gz=gz)

@@ -1,0 +1,110 @@
+"""Distributed path tests (SURVEY.md §4 "Distributed" row): the sharded
+ring all-vs-all and data-parallel screening must produce results bit-identical
+to the single-device engine, exercised on the 8 faked CPU devices set up in
+conftest.py."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from miekki_tpu import engine
+from miekki_tpu.index.store import SketchIndex
+from miekki_tpu.params import SketchParams
+from miekki_tpu.parallel import (
+    dist_sharded,
+    local_mesh,
+    ring_all_vs_all_counts,
+    screen_sharded,
+)
+from miekki_tpu.parallel.mesh import DATA_AXIS, DB_AXIS
+
+from fixtures import random_genome_fasta, random_reads_fastq
+
+
+@pytest.fixture(scope="module")
+def small_index(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("par")
+    rng = np.random.default_rng(7)
+    paths = [
+        random_genome_fasta(tmp / f"g{i}.fa", rng, n_records=2, length=800)
+        for i in range(10)
+    ]
+    params = SketchParams(k=21, s=128)
+    return engine.build_index(paths, params)
+
+
+def test_ring_allvsall_matches_engine(small_index):
+    mesh = local_mesh(axis_names=(DB_AXIS,))
+    counts = dist_sharded(small_index, mesh)
+    rows = engine.dist(small_index)
+    n = len(small_index)
+    assert counts["shared"].shape == (n, n)
+    # engine.dist yields the upper triangle; check every pair against it.
+    for r in rows:
+        i, j = r["i"], r["j"]
+        assert int(counts["shared"][i, j]) == r["shared"]
+        assert int(counts["union"][i, j]) == r["union"]
+    # symmetry + diagonal invariants of the full sharded matrix
+    assert np.array_equal(counts["shared"], counts["shared"].T)
+    assert np.array_equal(counts["union"], counts["union"].T)
+    sizes = small_index.sizes()
+    s = small_index.params.s
+    for i in range(n):
+        expect = min(int(sizes[i]), s)
+        assert counts["shared"][i, i] == expect
+        assert counts["union"][i, i] == expect
+
+
+def test_ring_allvsall_rectangular(small_index):
+    mesh = local_mesh(axis_names=(DB_AXIS,))
+    a = SketchIndex(small_index.params, small_index.names[:4],
+                    small_index.hi[:4], small_index.lo[:4])
+    b = SketchIndex(small_index.params, small_index.names[4:],
+                    small_index.hi[4:], small_index.lo[4:])
+    counts = dist_sharded(a, mesh, index_b=b)
+    rows = engine.dist(a, b)
+    assert counts["shared"].shape == (4, len(small_index) - 4)
+    for r in rows:
+        assert int(counts["shared"][r["i"], r["j"]]) == r["shared"]
+        assert int(counts["union"][r["i"], r["j"]]) == r["union"]
+
+
+def test_ring_allvsall_2d_mesh(small_index):
+    """The ring must also work on the db axis of a 2-D (data, db) mesh."""
+    mesh = local_mesh(shape=(2, 4), axis_names=(DATA_AXIS, DB_AXIS))
+    counts = dist_sharded(small_index, mesh)
+    ref = dist_sharded(small_index, local_mesh(axis_names=(DB_AXIS,)))
+    assert np.array_equal(counts["shared"], ref["shared"])
+    assert np.array_equal(counts["union"], ref["union"])
+
+
+def test_screen_sharded_matches_engine(small_index, tmp_path):
+    rng = np.random.default_rng(11)
+    reads = random_reads_fastq(tmp_path / "reads.fq", rng, n_reads=200, length=120)
+    got = screen_sharded(small_index, reads,
+                         local_mesh(axis_names=(DATA_AXIS,)), flat=4096)
+    want = engine.screen(small_index, reads, flat=4096)
+    assert got == want
+
+
+def test_screen_sharded_2d_mesh(small_index, tmp_path):
+    rng = np.random.default_rng(13)
+    reads = random_reads_fastq(tmp_path / "r2.fq", rng, n_reads=64, length=90)
+    mesh = local_mesh(shape=(4, 2), axis_names=(DATA_AXIS, DB_AXIS))
+    got = screen_sharded(small_index, reads, mesh, flat=2048)
+    want = engine.screen(small_index, reads, flat=2048)
+    assert got == want
+
+
+def test_ring_counts_padding_rows():
+    """INF-padded rows must contribute zero counts (pad path in dist_sharded)."""
+    params = SketchParams(k=21, s=16)
+    sketches = [np.sort(np.random.default_rng(i).integers(
+        0, 2**63, size=16, dtype=np.uint64)) for i in range(3)]
+    idx = SketchIndex.from_sketches(sketches, ["a", "b", "c"], params)
+    mesh = local_mesh(axis_names=(DB_AXIS,))
+    counts = dist_sharded(idx, mesh)  # pads 3 → 8 internally
+    assert counts["shared"].shape == (3, 3)
+    assert (np.diag(counts["union"]) == 16).all()
