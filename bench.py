@@ -20,16 +20,20 @@ import numpy as np
 BASELINE_GBASES = 1.0  # Gbase/s/chip — BASELINE.md roofline anchor
 
 
-def _time(fn, *args, warmup: int = 2, iters: int = 5) -> float:
+def _time(fn, *args, warmup: int = 2, iters: int = 7) -> float:
+    """Median of per-iteration wall times, each fully synchronized —
+    async dispatch makes aggregate loop timing wildly optimistic."""
     import jax
 
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
+    times = []
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
 
 
 def bench_sketch(k: int = 31, s: int = 10_000, chunk: int = 1 << 20,
@@ -39,8 +43,8 @@ def bench_sketch(k: int = 31, s: int = 10_000, chunk: int = 1 << 20,
     from miekki_tpu.ops import sketch as _sketch
 
     rng = np.random.default_rng(0)
-    rows = rng.integers(0, 4, size=(n_chunks, chunk + k - 1), dtype=np.int64)
-    rows = jnp.asarray(rows, jnp.int32)
+    rows = rng.integers(0, 4, size=(n_chunks, chunk + k - 1), dtype=np.uint8)
+    rows = jnp.asarray(rows)
     dt = _time(lambda r: _sketch.sketch_chunked(r, k, s), rows)
     bases = n_chunks * chunk
     return bases / dt / 1e9

@@ -214,7 +214,7 @@ def screen(
     db_hi, db_lo = jnp.asarray(index.hi), jnp.asarray(index.lo)
     acc = jnp.zeros((len(index), s), dtype=jnp.bool_)
     for batch in _packed_read_batches(reads_path, k, flat):
-        acc = _screen_update(acc, db_hi, db_lo, jnp.asarray(batch, jnp.int32), k)
+        acc = _screen_update(acc, db_hi, db_lo, jnp.asarray(batch), k)
     hits = np.asarray(jnp.sum(acc, axis=-1))
     sizes = index.sizes()
     out = []

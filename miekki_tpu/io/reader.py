@@ -90,7 +90,16 @@ def read_records(path: str | os.PathLike) -> Iterator[Record]:
 
 
 def read_encoded(path: str | os.PathLike) -> Iterator[Tuple[str, np.ndarray]]:
-    """Yield (name, uint8 code array) records."""
+    """Yield (name, uint8 code array) records.
+
+    Uses the native C++ parser (io.native) when built; the pure-Python path
+    below is the fallback and the behavioral spec.
+    """
+    from . import native as _native
+
+    if _native.available():
+        yield from _native.read_encoded_native(path)
+        return
     for name, seq in read_records(path):
         yield name, _encode.encode(seq)
 

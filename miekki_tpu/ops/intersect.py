@@ -32,9 +32,9 @@ import numpy as np
 from . import u64
 
 
-def pair_counts(a: u64.Pair, b: u64.Pair, s: int):
-    """Exact counts for one sketch pair.  Returns dict of int32 scalars:
-    shared_in_x, union_size, inter_full, n_a, n_b."""
+def pair_counts_merge(a: u64.Pair, b: u64.Pair, s: int):
+    """Sort-merge reference implementation of the pair counts (kept as the
+    cross-check oracle for pair_counts; O(2s·log 2s) compare-exchanges)."""
     hi = jnp.concatenate([a[0], b[0]])
     lo = jnp.concatenate([a[1], b[1]])
     hi, lo = u64.sort((hi, lo))
@@ -55,17 +55,68 @@ def pair_counts(a: u64.Pair, b: u64.Pair, s: int):
     }
 
 
+def pair_counts(a: u64.Pair, b: u64.Pair, s: int):
+    """Exact counts for one sketch pair via vectorized binary search — no
+    per-pair sort (SURVEY.md §7 item 4 "merge-path / searchsorted").
+
+    For sorted DISTINCT INF-padded sketches: a_i's rank among the distinct
+    union values is  i + |{b < a_i}| − |{shared < a_i}|  (shared elements
+    would otherwise be counted by both terms); a_i ∈ X = bottom-s(A ∪ B)
+    iff rank < s.  Returns dict of int32 scalars: shared_in_x, union_size,
+    inter_full, n_a, n_b.  Bit-identical to pair_counts_merge.
+    """
+    m = b[0].shape[0]
+    valid_a = ~u64.is_inf(a)
+    pos = searchsorted_u64(b, a)  # |{b < a_i}| (INF padding sorts last)
+    probe = jnp.clip(pos, 0, m - 1)
+    match = (
+        (pos < m)
+        & u64.equal((b[0][probe], b[1][probe]), a)
+        & valid_a
+    )
+    match_i = match.astype(jnp.int32)
+    shared_less = jnp.cumsum(match_i) - match_i  # exclusive
+    i = jnp.arange(a[0].shape[0], dtype=jnp.int32)
+    rank = i + pos.astype(jnp.int32) - shared_less
+    n_a = jnp.sum(valid_a.astype(jnp.int32))
+    n_b = jnp.sum((~u64.is_inf(b)).astype(jnp.int32))
+    inter = jnp.sum(match_i)
+    return {
+        "shared_in_x": jnp.sum((match & (rank < s)).astype(jnp.int32)),
+        "union_size": jnp.minimum(n_a + n_b - inter, s),
+        "inter_full": inter,
+        "n_a": n_a,
+        "n_b": n_b,
+    }
+
+
+ROW_GROUP = 8  # rows per sequential step — bounds gather temps to
+# [ROW_GROUP, Tj, s] (fully materializing the [Ti, Tj, s] search
+# intermediates OOMs at Ti = Tj = 128, s = 10k).
+
+
 @partial(jax.jit, static_argnames=("s",))
 def tile_counts(rows: u64.Pair, cols: u64.Pair, s: int):
     """All-pairs counts for a tile: rows [(Ti, s)], cols [(Tj, s)] →
     dict of int32 [Ti, Tj] arrays.  The inner unit of the all-vs-all
-    scheduler (SURVEY.md §3.2)."""
-    f = jax.vmap(
+    scheduler (SURVEY.md §3.2).  Vectorized over (row-group × Tj) pairs;
+    sequential (lax.map) over row groups to bound temp memory."""
+    ti = rows[0].shape[0]
+    g = min(ROW_GROUP, ti)
+    pair = jax.vmap(
         jax.vmap(lambda a0, a1, b0, b1: pair_counts((a0, a1), (b0, b1), s),
                  in_axes=(None, None, 0, 0)),
         in_axes=(0, 0, None, None),
     )
-    return f(rows[0], rows[1], cols[0], cols[1])
+    if ti % g:
+        pad = ((0, -ti % g), (0, 0))
+        rows = (jnp.pad(rows[0], pad, constant_values=u64.INF_HI),
+                jnp.pad(rows[1], pad, constant_values=u64.INF_LO))
+    r0 = rows[0].reshape(-1, g, s)
+    r1 = rows[1].reshape(-1, g, s)
+    out = jax.lax.map(lambda r: pair(r[0], r[1], cols[0], cols[1]), (r0, r1))
+    out = jax.tree.map(lambda x: x.reshape(-1, cols[0].shape[0])[:ti], out)
+    return out
 
 
 def searchsorted_u64(hay: u64.Pair, needles: u64.Pair) -> jax.Array:

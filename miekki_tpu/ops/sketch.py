@@ -2,11 +2,19 @@
 
 TPU-first design (SURVEY.md §7 item 3): instead of the reference's per-hash
 heap, the running sketch is merged with each chunk of candidate hashes by a
-branch-free sort → dedup → truncate:
+branch-free sort → dedup → truncate.  Two refinements keep the merge off the
+critical path (the naive form sorts the whole chunk every step and dominates
+the sketch phase):
 
-  merged = sort_u64(concat(sketch, chunk))         # INF sentinels sink
-  dup[i] = merged[i] == merged[i-1]                # distinct = first of run
-  merged[dup or INF] = INF; re-sort; take first s
+  * **Threshold pre-filter**: a hash can only enter the sketch if it is
+    strictly below the current s-th smallest value T (= sketch[s-1], +inf
+    while the sketch is unfilled).  Once the sketch is warm, the expected
+    survivor count per chunk of C hashes is C·s/seen — quickly ≪ C.
+  * **Budgeted compaction**: survivors are compacted into a fixed B-slot
+    buffer with a cumsum-based `jnp.nonzero(size=B)` (static shape, jit-safe)
+    and only (s + B) elements are sorted.  The rare overflow case (cold
+    sketch, first chunks) falls back to the full sort under a `lax.cond`
+    — bottom-s semantics stay EXACT, bit-identical to the numpy oracle.
 
 Sketch state is a fixed-shape [(s,), (s,)] uint32 pair padded with the
 UINT64_MAX (+inf) sentinel, so the whole genome pipeline is a `lax.scan`
@@ -21,9 +29,14 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from . import hash as _hash
 from . import u64
+
+# Survivor budget for the compacted merge path.  With chunk C = 2^20 the
+# budget is exceeded only while seen < C·s/B  (≈ first chunk for s = 10k).
+CAND_BUDGET = 16384
 
 
 def empty_sketch(s: int) -> u64.Pair:
@@ -37,10 +50,10 @@ def _dedup_mask(hi: jax.Array, lo: jax.Array) -> jax.Array:
     return dup_hi & dup_lo
 
 
-def merge_into_sketch(sketch: u64.Pair, hashes: u64.Pair, s: int) -> u64.Pair:
-    """Merge candidate hashes (INF = masked) into a bottom-s sketch."""
-    hi = jnp.concatenate([sketch[0], hashes[0]])
-    lo = jnp.concatenate([sketch[1], hashes[1]])
+def _merge_sorted_trunc(sketch: u64.Pair, cand: u64.Pair, s: int) -> u64.Pair:
+    """sort(concat) → dedup → resort → first s.  cand may be any length."""
+    hi = jnp.concatenate([sketch[0], cand[0]])
+    lo = jnp.concatenate([sketch[1], cand[1]])
     hi, lo = u64.sort((hi, lo))
     drop = _dedup_mask(hi, lo)
     hi = jnp.where(drop, u64.INF_HI, hi)
@@ -49,21 +62,93 @@ def merge_into_sketch(sketch: u64.Pair, hashes: u64.Pair, s: int) -> u64.Pair:
     return hi[:s], lo[:s]
 
 
-@partial(jax.jit, static_argnames=("k", "s"))
-def sketch_chunked(chunks: jax.Array, k: int, s: int) -> u64.Pair:
+def merge_into_sketch(
+    sketch: u64.Pair, hashes: u64.Pair, s: int, budget: int = CAND_BUDGET
+) -> u64.Pair:
+    """Merge candidate hashes (INF = masked) into a bottom-s sketch.
+
+    Exact bottom-s-distinct semantics; the budgeted fast path and the full
+    fallback produce identical results (property-tested vs the oracle).
+    """
+    c = hashes[0].size
+    if c <= budget + s:
+        return _merge_sorted_trunc(sketch, hashes, s)
+
+    # Threshold: current s-th smallest (INF while unfilled).  h == T is
+    # already in the sketch; h == INF is masked — both excluded by `less`.
+    thr = (sketch[0][s - 1], sketch[1][s - 1])
+    keep = u64.less(hashes, thr)
+    m = jnp.sum(keep.astype(jnp.int32))
+
+    def small(_):
+        (idx,) = jnp.nonzero(keep, size=budget, fill_value=c)
+        cand = (
+            jnp.take(hashes[0], idx, mode="fill", fill_value=u64.INF_HI),
+            jnp.take(hashes[1], idx, mode="fill", fill_value=u64.INF_LO),
+        )
+        return _merge_sorted_trunc(sketch, cand, s)
+
+    def full(_):
+        return _merge_sorted_trunc(sketch, hashes, s)
+
+    return lax.cond(m <= budget, small, full, None)
+
+
+# Target number of window starts hashed per scan step; rows are grouped so
+# each merge amortizes over ~this many candidate hashes.
+STEP_TARGET = 1 << 19
+
+
+def _hash_rows(block: jax.Array, k: int) -> u64.Pair:
+    """Hash a [g, W] row block with the configured implementation.
+
+    MIEKKI_HASH=pallas|xla|auto (env): auto uses the fused Pallas kernel on
+    TPU and the XLA path elsewhere.  Both are bit-identical.
+    """
+    import os
+
+    impl = os.environ.get("MIEKKI_HASH", "auto").lower()
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from . import pallas_hash as _ph
+
+        h, _ = _ph.hash_windows_pallas(block, k)
+    else:
+        h, _ = _hash.hash_windows(block, k)
+    return h
+
+
+@partial(jax.jit, static_argnames=("k", "s", "group"))
+def sketch_chunked(chunks: jax.Array, k: int, s: int, group: int = 0) -> u64.Pair:
     """Sketch one genome given as [n_chunks, C + k - 1] code rows.
 
     Chunk rows must overlap by k-1 bases (row i covers window starts
     [i*C, (i+1)*C) of the packed genome); padding bases are INVALID_CODE.
-    Returns the [(s,), (s,)] sketch pair (ascending, INF-padded).
+    Rows are processed `group` at a time (0 = auto: ~STEP_TARGET bases per
+    step) with ONE bottom-s merge per group, so narrow rows don't pay a
+    merge each.  Returns the [(s,), (s,)] sketch pair (ascending,
+    INF-padded).
     """
+    n, w = chunks.shape
+    g = group or max(1, min(n, STEP_TARGET // max(1, w - k + 1)))
+    if n % g:
+        chunks = jnp.pad(
+            chunks, ((0, -n % g), (0, 0)), constant_values=_hash.INVALID_CODE
+        )
+    blocks = chunks.reshape(-1, g, w)
 
-    def body(carry, chunk):
-        h, _ = _hash.hash_windows(chunk, k)
-        return merge_into_sketch(carry, h, s), None
+    def body(carry, block):
+        h = _hash_rows(block, k)
+        flat = (h[0].reshape(-1), h[1].reshape(-1))
+        return merge_into_sketch(carry, flat, s), None
 
-    out, _ = jax.lax.scan(body, empty_sketch(s), chunks)
+    out, _ = jax.lax.scan(body, empty_sketch(s), blocks)
     return out
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
 
 
 def chunk_codes(codes: np.ndarray, k: int, chunk: int) -> np.ndarray:
@@ -78,16 +163,36 @@ def chunk_codes(codes: np.ndarray, k: int, chunk: int) -> np.ndarray:
     return rows
 
 
+def bucketed_chunk_codes(codes: np.ndarray, k: int, chunk: int) -> np.ndarray:
+    """chunk_codes with power-of-two shape bucketing.
+
+    Genome lengths vary per file; naive chunking gives every genome a unique
+    [n, C + k - 1] shape and triggers a fresh XLA compile each time (~30s+ on
+    TPU).  Bucketing both the chunk width and the row count to powers of two
+    bounds the number of distinct compiled shapes to O(log² L) per (k, s).
+    Padding rows are all-INVALID → hash to INF → merge no-ops.
+    """
+    length = max(1, len(codes))
+    c = min(chunk, max(4096, _next_pow2(length)))
+    rows = chunk_codes(codes, k, c)
+    n_pad = _next_pow2(rows.shape[0])
+    if n_pad != rows.shape[0]:
+        pad = np.full(
+            (n_pad - rows.shape[0], rows.shape[1]), _hash.INVALID_CODE, np.uint8
+        )
+        rows = np.concatenate([rows, pad])
+    return rows
+
+
 def sketch_codes_device(
-    codes: np.ndarray, k: int, s: int, chunk: int = 1 << 16
+    codes: np.ndarray, k: int, s: int, chunk: int = 1 << 18
 ) -> np.ndarray:
     """End-to-end single-genome sketch on device → sorted uint64[<=s] (host).
 
     `codes` is a packed uint8 array (use io.encode.pack_records for
     multi-record genomes — separators invalidate boundary-spanning windows).
     """
-    chunk = min(chunk, max(1, len(codes)))  # don't pad tiny genomes to a full chunk
-    rows = chunk_codes(codes, k, chunk)
+    rows = bucketed_chunk_codes(codes, k, chunk)
     hi, lo = sketch_chunked(jnp.asarray(rows), k, s)
     out = u64.join(np.asarray(hi), np.asarray(lo))
     return out[out != np.uint64(0xFFFFFFFFFFFFFFFF)]

@@ -97,7 +97,7 @@ def screen_sharded(
     acc = jnp.zeros((len(index), s), dtype=jnp.bool_)
     for group in _batch_groups(reads_path, k, flat, D):
         acc = screen_step_sharded(
-            acc, db_hi, db_lo, jnp.asarray(group, jnp.int32), k=k, mesh=mesh,
+            acc, db_hi, db_lo, jnp.asarray(group), k=k, mesh=mesh,
             axis=axis,
         )
     hits = np.asarray(jnp.sum(acc, axis=-1))

@@ -1,0 +1,113 @@
+"""Parity tests: native C++ reader (io.native) vs pure-Python reader spec.
+
+Skipped when native/libmiekki_io.so is not built (`make -C native`)."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from miekki_tpu.io import encode as E
+from miekki_tpu.io import native as N
+from miekki_tpu.io import reader as R
+
+from fixtures import random_seq, write_fasta, write_fastq
+
+pytestmark = pytest.mark.skipif(
+    not N.available(), reason="native IO library not built"
+)
+
+
+def _python_records(path):
+    return [(n, E.encode(s)) for n, s in R.read_records(path)]
+
+
+def _native_records(path):
+    return list(N.read_encoded_native(path))
+
+
+def assert_same(path):
+    py = _python_records(path)
+    nat = _native_records(path)
+    assert [n for n, _ in py] == [n for n, _ in nat]
+    for (_, a), (_, b) in zip(py, nat):
+        assert np.array_equal(a, b)
+
+
+def test_fasta_multirecord_multiline(tmp_path):
+    rng = np.random.default_rng(0)
+    records = [
+        ("chr1 extra description", random_seq(rng, 500, n_prob=0.05)),
+        ("chr2", random_seq(rng, 137)),
+        ("", b"ACGTNacgtn"),
+    ]
+    assert_same(write_fasta(tmp_path / "a.fa", records, line_width=60))
+
+
+def test_fasta_gzip_magic_detection(tmp_path):
+    rng = np.random.default_rng(1)
+    records = [("g", random_seq(rng, 1000))]
+    # gzipped content behind a non-.gz extension: must be detected by magic
+    p = tmp_path / "plain_name.fa"
+    p.write_bytes(gzip.compress((b">g\n" + records[0][1] + b"\n")))
+    assert_same(p)
+
+
+def test_fastq_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    records = [(f"r{i}", random_seq(rng, 80 + i)) for i in range(25)]
+    assert_same(write_fastq(tmp_path / "r.fq", records))
+    assert_same(write_fastq(tmp_path / "r.fq.gz", records, gz=True))
+
+
+def test_crlf_line_endings(tmp_path):
+    p = tmp_path / "crlf.fa"
+    p.write_bytes(b">name desc\r\nACGT\r\nTTAA\r\n>n2\r\nGGGG\r\n")
+    assert_same(p)
+
+
+def test_malformed_fastq_missing_plus(tmp_path):
+    p = tmp_path / "bad.fq"
+    p.write_bytes(b"@r1\nACGT\nXXXX\nIIII\n")
+    with pytest.raises(ValueError):
+        _native_records(p)
+    with pytest.raises(ValueError):
+        _python_records(p)
+
+
+def test_fastq_qual_length_mismatch(tmp_path):
+    p = tmp_path / "bad2.fq"
+    p.write_bytes(b"@r1\nACGT\n+\nIII\n")
+    with pytest.raises(ValueError):
+        _native_records(p)
+    with pytest.raises(ValueError):
+        _python_records(p)
+
+
+def test_unrecognized_file(tmp_path):
+    p = tmp_path / "junk.txt"
+    p.write_bytes(b"hello world\n")
+    with pytest.raises(ValueError):
+        _native_records(p)
+    with pytest.raises(ValueError):
+        _python_records(p)
+
+
+def test_empty_file(tmp_path):
+    p = tmp_path / "empty.fa"
+    p.write_bytes(b"")
+    with pytest.raises(ValueError):
+        _native_records(p)
+    with pytest.raises(ValueError):
+        _python_records(p)
+
+
+def test_engine_uses_native_transparently(tmp_path):
+    """read_encoded dispatches to native; results equal the python spec."""
+    rng = np.random.default_rng(3)
+    p = write_fasta(tmp_path / "g.fa", [("g", random_seq(rng, 2000))])
+    via_dispatch = [(n, c.copy()) for n, c in R.read_encoded(p)]
+    py = _python_records(p)
+    assert [n for n, _ in via_dispatch] == [n for n, _ in py]
+    for (_, a), (_, b) in zip(via_dispatch, py):
+        assert np.array_equal(a, b)

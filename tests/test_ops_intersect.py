@@ -131,3 +131,29 @@ class TestContainmentCounts:
             assert int(sizes[g]) == len(db_list[g])
             got_c = int(hits[g]) / int(sizes[g])
             assert got_c == want_c
+
+
+def test_pair_counts_matches_merge_reference():
+    """The searchsorted pair_counts must be bit-identical to the sort-merge
+    reference on random overlapping sketches, including partial fills."""
+    import numpy as np
+    import jax.numpy as jnp
+    from miekki_tpu.ops import intersect as I
+    from miekki_tpu.ops import u64
+
+    rng = np.random.default_rng(99)
+    s = 64
+    for trial in range(20):
+        pool = np.unique(rng.integers(0, 2**63, size=200, dtype=np.uint64))
+        na, nb = rng.integers(1, s + 1, size=2)
+        a = np.sort(rng.choice(pool, size=na, replace=False))
+        b = np.sort(rng.choice(pool, size=nb, replace=False))
+        pad = np.uint64(0xFFFFFFFFFFFFFFFF)
+        a = np.concatenate([a, np.full(s - na, pad, np.uint64)])
+        b = np.concatenate([b, np.full(s - nb, pad, np.uint64)])
+        ap = tuple(jnp.asarray(x) for x in u64.split(a))
+        bp = tuple(jnp.asarray(x) for x in u64.split(b))
+        got = I.pair_counts(ap, bp, s)
+        want = I.pair_counts_merge(ap, bp, s)
+        for key in want:
+            assert int(got[key]) == int(want[key]), (trial, key, got, want)
