@@ -63,6 +63,18 @@ def cmd_dist(args) -> int:
     index_a = _load_or_build(args.query, args)
     index_b = SketchIndex.load(args.ref) if args.ref else None
     t0 = time.perf_counter()
+    if args.manifest:
+        if args.output == "-":
+            print("dist: --manifest requires -o FILE", file=sys.stderr)
+            return 2
+        n = engine.dist_resumable(index_a, args.output, args.manifest,
+                                  index_b, tile=args.tile)
+        dt = time.perf_counter() - t0
+        _metrics.emit(args.metrics, phase="dist", pairs=n, seconds=dt,
+                      pairs_per_s=n / dt if dt > 0 else 0.0)
+        print(f"compared {n} new pairs in {dt:.2f}s (resumable via "
+              f"{args.manifest})", file=sys.stderr)
+        return 0
     rows = engine.dist(index_a, index_b, tile=args.tile)
     dt = time.perf_counter() - t0
     with _out(args) as f:
@@ -115,6 +127,9 @@ def build_parser() -> argparse.ArgumentParser:
                    "default: all-vs-all on the query set")
     p.add_argument("-o", "--output", default="-", help="output TSV (default stdout)")
     p.add_argument("--tile", type=int, default=engine.DEFAULT_TILE)
+    p.add_argument("--manifest", default=None, metavar="FILE",
+                   help="JSONL tile manifest enabling checkpoint/resume of "
+                   "the comparison (rerun with the same args to continue)")
     _add_common(p)
     p.set_defaults(fn=cmd_dist)
 

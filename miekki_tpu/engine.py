@@ -28,7 +28,9 @@ from .ops import intersect as _intersect
 from .ops import sketch as _sketch
 from .ops import u64
 
-DEFAULT_CHUNK = 1 << 18  # bases per device hashing step while sketching
+DEFAULT_CHUNK = 1 << 13  # row width (bases) for the sketch pipeline; rows are
+# grouped into ~512K-base scan steps (ops.sketch.STEP_TARGET).  Narrow rows
+# keep Pallas hash blocks inside VMEM; the k-1 overlap waste is <0.5%.
 DEFAULT_TILE = 128       # genomes per side of an all-vs-all tile
 DEFAULT_READ_FLAT = 1 << 18  # packed read bases per screening batch
 
@@ -155,6 +157,68 @@ def dist(index_a: SketchIndex, index_b: Optional[SketchIndex] = None,
          tile: int = DEFAULT_TILE) -> List[dict]:
     """All comparison rows, sorted by (i, j) — deterministic across tilings."""
     return sorted(dist_iter(index_a, index_b, tile), key=lambda r: (r["i"], r["j"]))
+
+
+def dist_resumable(
+    index_a: SketchIndex,
+    out_path,
+    manifest_path,
+    index_b: Optional[SketchIndex] = None,
+    tile: int = DEFAULT_TILE,
+    columns: Sequence[str] = TSV_COLUMNS,
+) -> int:
+    """Checkpointed all-vs-all: stream TSV rows tile-by-tile, recording each
+    completed tile in a JSON-lines manifest (SURVEY.md §5 "Failure
+    detection / elastic recovery": the job is embarrassingly restartable —
+    on restart, completed tiles are skipped and output rows appended).
+
+    Tiles are iterated in a deterministic grid order, so a resumed run's
+    output is identical to an uninterrupted one.  Rows of a tile are flushed
+    BEFORE its manifest line, so a crash can at worst duplicate the rows of
+    one unrecorded trailing tile; callers who need exactly-once rows can
+    dedupe on (query, reference).  Returns the number of rows written by
+    THIS invocation.
+    """
+    import json as _json
+    import os as _os
+
+    done: set = set()
+    if _os.path.exists(manifest_path) and _os.path.exists(out_path):
+        with open(manifest_path) as mf:
+            for line in mf:
+                line = line.strip()
+                if line:
+                    rec = _json.loads(line)
+                    done.add((rec["bi"], rec["bj"]))
+    fresh = not done
+    n_rows = 0
+    with open(out_path, "w" if fresh else "a") as out, open(
+        manifest_path, "w" if fresh else "a"
+    ) as mf:
+        if fresh:
+            out.write("#" + "\t".join(columns) + "\n")
+
+        pending: List[dict] = []
+
+        def on_tile_done(tile_coord):
+            nonlocal n_rows
+            for r in pending:
+                cells = [
+                    f"{r[c]:.10g}" if isinstance(r[c], float) else str(r[c])
+                    for c in columns
+                ]
+                out.write("\t".join(cells) + "\n")
+            n_rows += len(pending)
+            pending.clear()
+            out.flush()
+            mf.write(_json.dumps({"bi": tile_coord[0], "bj": tile_coord[1]}) + "\n")
+            mf.flush()
+
+        for row in dist_iter(
+            index_a, index_b, tile, skip_tiles=done, on_tile_done=on_tile_done
+        ):
+            pending.append(row)
+    return n_rows
 
 
 # ---------------------------------------------------------------- screening

@@ -90,9 +90,91 @@ def pair_counts(a: u64.Pair, b: u64.Pair, s: int):
     }
 
 
+def _bitonic_merge_u64(hi: jax.Array, lo: jax.Array, s: int):
+    """Bitonic MERGE of [..., 2s] arrays whose halves are each sorted
+    ascending with the second half reversed (i.e. the whole row is bitonic).
+
+    log2(2s) compare-exchange stages, each expressed as two lane-rolls plus
+    a positional mask — no gathers, no lax.sort; this is the TPU-shaped
+    primitive behind pair_counts_bitonic (s must be a power of two).
+    """
+    L = 2 * s
+    pos = jax.lax.broadcasted_iota(jnp.int32, hi.shape, hi.ndim - 1)
+    d = s
+    while d >= 1:
+        up = (pos % (2 * d)) < d  # first half of each 2d block keeps the min
+        ph = jnp.roll(hi, -d, axis=-1)
+        pl = jnp.roll(lo, -d, axis=-1)
+        mh = jnp.roll(hi, d, axis=-1)
+        ml = jnp.roll(lo, d, axis=-1)
+        less_up = (hi < ph) | ((hi == ph) & (lo <= pl))   # x <= partner_fwd
+        less_dn = (mh < hi) | ((mh == hi) & (ml <= lo))   # partner_bwd <= x
+        keep = jnp.where(up, less_up, less_dn)
+        hi = jnp.where(keep, hi, jnp.where(up, ph, mh))
+        lo = jnp.where(keep, lo, jnp.where(up, pl, ml))
+        d //= 2
+    del L
+    return hi, lo
+
+
+def pair_counts_bitonic(a: u64.Pair, b: u64.Pair, s: int):
+    """pair_counts via an explicit bitonic merge network — bit-identical to
+    pair_counts_merge but with only rolls/selects/cumsum (the TPU fast path;
+    lax.sort per pair is slow and searchsorted gathers are scalarized on
+    TPU).  The sketch arrays' last dim sp may exceed s (INF padding) but
+    must be a power of two; counts are capped at the true s."""
+    sp = a[0].shape[-1]
+    if sp & (sp - 1) or b[0].shape[-1] != sp:
+        raise ValueError(
+            f"pair_counts_bitonic needs equal power-of-two widths, got "
+            f"{a[0].shape[-1]} / {b[0].shape[-1]}"
+        )
+    hi = jnp.concatenate([a[0], b[0][..., ::-1]], axis=-1)
+    lo = jnp.concatenate([a[1], b[1][..., ::-1]], axis=-1)
+    hi, lo = _bitonic_merge_u64(hi, lo, sp)
+    valid = ~((hi == u64.INF_HI) & (lo == u64.INF_LO))
+    prev_eq = (hi == jnp.roll(hi, 1, axis=-1)) & (lo == jnp.roll(lo, 1, axis=-1))
+    pos = jax.lax.broadcasted_iota(jnp.int32, hi.shape, hi.ndim - 1)
+    dup = prev_eq & (pos > 0) & valid
+    distinct = valid & ~dup
+    rank = jnp.cumsum(distinct.astype(jnp.int32), axis=-1)
+    in_x = rank <= s
+    return {
+        "shared_in_x": jnp.sum((dup & in_x).astype(jnp.int32), axis=-1),
+        "union_size": jnp.minimum(
+            jnp.sum(distinct.astype(jnp.int32), axis=-1), s
+        ),
+        "inter_full": jnp.sum(dup.astype(jnp.int32), axis=-1),
+        "n_a": jnp.sum((~u64.is_inf(a)).astype(jnp.int32), axis=-1),
+        "n_b": jnp.sum((~u64.is_inf(b)).astype(jnp.int32), axis=-1),
+    }
+
+
 ROW_GROUP = 8  # rows per sequential step — bounds gather temps to
 # [ROW_GROUP, Tj, s] (fully materializing the [Ti, Tj, s] search
 # intermediates OOMs at Ti = Tj = 128, s = 10k).
+
+
+def _intersect_impl() -> str:
+    """MIEKKI_INTERSECT=auto|pallas|bitonic|searchsorted (env).  auto: the
+    Pallas VMEM bitonic-merge kernel on TPU (XLA gathers are scalarized
+    there), searchsorted elsewhere (fast native gathers on CPU)."""
+    import os
+
+    impl = os.environ.get("MIEKKI_INTERSECT", "auto").lower()
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "searchsorted"
+    return impl
+
+
+def _pad_pow2(p: u64.Pair) -> u64.Pair:
+    sp = p[0].shape[-1]
+    tgt = 1 << max(0, (sp - 1).bit_length())
+    if tgt == sp:
+        return p
+    pad = [(0, 0)] * (p[0].ndim - 1) + [(0, tgt - sp)]
+    return (jnp.pad(p[0], pad, constant_values=u64.INF_HI),
+            jnp.pad(p[1], pad, constant_values=u64.INF_LO))
 
 
 @partial(jax.jit, static_argnames=("s",))
@@ -103,17 +185,38 @@ def tile_counts(rows: u64.Pair, cols: u64.Pair, s: int):
     sequential (lax.map) over row groups to bound temp memory."""
     ti = rows[0].shape[0]
     g = min(ROW_GROUP, ti)
-    pair = jax.vmap(
-        jax.vmap(lambda a0, a1, b0, b1: pair_counts((a0, a1), (b0, b1), s),
-                 in_axes=(None, None, 0, 0)),
-        in_axes=(0, 0, None, None),
-    )
+    impl = _intersect_impl()
+
+    if impl == "pallas":
+        from . import pallas_intersect as _pi
+
+        return _pi.tile_counts_pallas(_pad_pow2(rows), _pad_pow2(cols), s)
+
+    if impl == "bitonic":
+        rows = _pad_pow2(rows)
+        cols = _pad_pow2(cols)
+
+        def pair(r0, r1, c0, c1):
+            # broadcast [g, 1, sp] x [1, Tj, sp] → batched bitonic merge
+            a = (r0[:, None, :], r1[:, None, :])
+            b = (jnp.broadcast_to(c0[None], (r0.shape[0],) + c0.shape),
+                 jnp.broadcast_to(c1[None], (r1.shape[0],) + c1.shape))
+            a = (jnp.broadcast_to(a[0], b[0].shape), jnp.broadcast_to(a[1], b[1].shape))
+            return pair_counts_bitonic(a, b, s)
+    else:
+        pair = jax.vmap(
+            jax.vmap(lambda a0, a1, b0, b1: pair_counts((a0, a1), (b0, b1), s),
+                     in_axes=(None, None, 0, 0)),
+            in_axes=(0, 0, None, None),
+        )
+
+    sp = rows[0].shape[-1]
     if ti % g:
         pad = ((0, -ti % g), (0, 0))
         rows = (jnp.pad(rows[0], pad, constant_values=u64.INF_HI),
                 jnp.pad(rows[1], pad, constant_values=u64.INF_LO))
-    r0 = rows[0].reshape(-1, g, s)
-    r1 = rows[1].reshape(-1, g, s)
+    r0 = rows[0].reshape(-1, g, sp)
+    r1 = rows[1].reshape(-1, g, sp)
     out = jax.lax.map(lambda r: pair(r[0], r[1], cols[0], cols[1]), (r0, r1))
     out = jax.tree.map(lambda x: x.reshape(-1, cols[0].shape[0])[:ti], out)
     return out

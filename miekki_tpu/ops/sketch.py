@@ -185,7 +185,7 @@ def bucketed_chunk_codes(codes: np.ndarray, k: int, chunk: int) -> np.ndarray:
 
 
 def sketch_codes_device(
-    codes: np.ndarray, k: int, s: int, chunk: int = 1 << 18
+    codes: np.ndarray, k: int, s: int, chunk: int = 1 << 13
 ) -> np.ndarray:
     """End-to-end single-genome sketch on device → sorted uint64[<=s] (host).
 

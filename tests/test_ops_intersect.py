@@ -157,3 +157,53 @@ def test_pair_counts_matches_merge_reference():
         want = I.pair_counts_merge(ap, bp, s)
         for key in want:
             assert int(got[key]) == int(want[key]), (trial, key, got, want)
+
+
+def test_pair_counts_bitonic_matches_merge():
+    """The roll/select bitonic merge path must be bit-identical to the
+    sort-merge reference, including non-power-of-two fills and padding."""
+    import numpy as np
+    import jax.numpy as jnp
+    from miekki_tpu.ops import intersect as I
+    from miekki_tpu.ops import u64
+
+    rng = np.random.default_rng(123)
+    s = 48  # deliberately not a power of two; tile path pads to 64
+    pad = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for trial in range(15):
+        pool = np.unique(rng.integers(0, 2**63, size=160, dtype=np.uint64))
+        na, nb = rng.integers(1, s + 1, size=2)
+        a = np.sort(rng.choice(pool, size=na, replace=False))
+        b = np.sort(rng.choice(pool, size=nb, replace=False))
+        a = np.concatenate([a, np.full(s - na, pad, np.uint64)])
+        b = np.concatenate([b, np.full(s - nb, pad, np.uint64)])
+        ap = tuple(jnp.asarray(x) for x in u64.split(a))
+        bp = tuple(jnp.asarray(x) for x in u64.split(b))
+        ap2 = I._pad_pow2(ap)
+        bp2 = I._pad_pow2(bp)
+        got = I.pair_counts_bitonic(ap2, bp2, s)
+        want = I.pair_counts_merge(ap, bp, s)
+        for key in want:
+            assert int(got[key]) == int(want[key]), (trial, key)
+
+
+def test_tile_counts_bitonic_impl_matches(monkeypatch):
+    import numpy as np
+    import jax.numpy as jnp
+    from miekki_tpu.ops import intersect as I
+    from miekki_tpu.ops import u64
+
+    rng = np.random.default_rng(7)
+    s = 40
+    tab = np.sort(rng.integers(0, 2**50, size=(20, s), dtype=np.uint64), axis=-1)
+    hi = jnp.asarray((tab >> np.uint64(32)).astype(np.uint32))
+    lo = jnp.asarray((tab & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    rows, cols = (hi[:12], lo[:12]), (hi[12:], lo[12:])
+    outs = {}
+    for impl in ("searchsorted", "bitonic"):
+        monkeypatch.setenv("MIEKKI_INTERSECT", impl)
+        I.tile_counts.clear_cache()
+        outs[impl] = {k: np.asarray(v)
+                      for k, v in I.tile_counts(rows, cols, s).items()}
+    for key in outs["bitonic"]:
+        assert np.array_equal(outs["bitonic"][key], outs["searchsorted"][key]), key
