@@ -222,21 +222,85 @@ def dist_resumable(
 
 
 # ---------------------------------------------------------------- screening
+#
+# TPU-first design: a read hash can only hit a sketch if it is <= the
+# LARGEST value in any bottom-s sketch — a ~s/|genome| sliver of the 64-bit
+# hash space.  Each batch is hashed on device, thresholded, compacted
+# (sort-based partition — no scalarized gathers), and only the few
+# survivors are binary-searched against the value-sorted flattened DB;
+# matches OR into a flat bitmap aligned to that DB.  Per-genome distinct-hit
+# counts fall out at the end via a host-side bincount over the (static)
+# position → genome map.  All branches live on device (lax.while_loop over
+# survivor chunks), so overflowing batches need no host round trip.
+
+
+SCREEN_CHUNK = 4096  # survivor hashes joined per while-loop step
+
+
+def _flatten_db(index: SketchIndex):
+    """Value-sorted flat view of all sketch hashes + genome-id map (host)."""
+    vals = []
+    gids = []
+    for i in range(len(index)):
+        sk = index.sketch_u64(i)
+        vals.append(sk)
+        gids.append(np.full(len(sk), i, np.int32))
+    if not vals or sum(len(v) for v in vals) == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int32)
+    flat = np.concatenate(vals)
+    gid = np.concatenate(gids)
+    order = np.argsort(flat, kind="stable")
+    return flat[order], gid[order]
+
+
+def _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes, k: int):
+    """One screening step over a packed read batch (trace-level body; the
+    jitted entry is _screen_update; miekki_tpu.parallel.screen reuses this
+    inside shard_map).
+
+    acc: bool[M + 1] — hit bitmap over the value-sorted flat DB (last slot
+    is a scratch sink for non-matches).  Returns the updated bitmap.
+    """
+    m_db = db_hi.shape[0]
+    h, _ = _hash.hash_windows(flat_codes, k)
+    n = h[0].shape[0]
+    keep = ~u64.less((thr_hi, thr_lo), h)  # h <= thr; INF never kept
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    # Stable partition survivors to the front (sort by position-keyed int32;
+    # native sort beats scalarized nonzero/gather compaction on TPU).
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    key = jnp.where(keep, pos, n + pos)
+    _, ph, pl = jax.lax.sort((key, h[0], h[1]), num_keys=1)
+
+    b = min(SCREEN_CHUNK, n)
+
+    def body(state):
+        off, acc = state
+        chs = (jax.lax.dynamic_slice(ph, (off,), (b,)),
+               jax.lax.dynamic_slice(pl, (off,), (b,)))
+        in_range = (pos[:b] + off) < n_keep
+        idx = _intersect.searchsorted_u64((db_hi, db_lo), chs)
+        probe = jnp.clip(idx, 0, max(m_db - 1, 0))
+        matched = (
+            (idx < m_db)
+            & u64.equal((db_hi[probe], db_lo[probe]), chs)
+            & in_range
+        )
+        target = jnp.where(matched, probe, m_db)
+        acc = acc.at[target].max(matched)
+        return off + b, acc
+
+    def cond(state):
+        return state[0] < n_keep
+
+    _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc))
+    return acc
 
 
 @partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
-def _screen_update(acc, db_hi, db_lo, flat_codes, k: int):
-    """One screening step: OR in which DB sketch hashes occur in this batch.
-
-    acc: bool[N, s] — sketch hashes seen so far in the read stream.
-    flat_codes: int32[F + k - 1] packed read batch (separator-delimited).
-    """
-    h, _ = _hash.hash_windows(flat_codes, k)
-    hay = u64.sort(h)  # INF-masked invalids sort to the end
-    hit = jax.vmap(
-        lambda r0, r1: _intersect.member_u64((hay[0], hay[1]), (r0, r1))
-    )(db_hi, db_lo)
-    return acc | hit
+def _screen_update(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes, k: int):
+    return _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo,
+                               flat_codes, k)
 
 
 def _packed_read_batches(path, k: int, flat: int) -> Iterator[np.ndarray]:
@@ -269,18 +333,23 @@ def _packed_read_batches(path, k: int, flat: int) -> Iterator[np.ndarray]:
         yield buf
 
 
-def screen(
-    index: SketchIndex, reads_path, flat: int = DEFAULT_READ_FLAT
-) -> List[dict]:
-    """Containment of each DB genome's sketch in the read stream
-    (SURVEY.md §3.3): c_g = |S(g) ∩ H(reads)| / |S(g)|."""
-    k, s = index.params.k, index.params.s
-    db_hi, db_lo = jnp.asarray(index.hi), jnp.asarray(index.lo)
-    acc = jnp.zeros((len(index), s), dtype=jnp.bool_)
-    for batch in _packed_read_batches(reads_path, k, flat):
-        acc = _screen_update(acc, db_hi, db_lo, jnp.asarray(batch), k)
-    hits = np.asarray(jnp.sum(acc, axis=-1))
+def _hits_from_bitmap(flat_vals: np.ndarray, gid: np.ndarray,
+                      acc: np.ndarray, n_genomes: int) -> np.ndarray:
+    """Device bitmap → per-genome distinct-hit counts.
+
+    The device join lower-bounds each survivor, so only the FIRST slot of an
+    equal-value run (a hash shared by several genomes) gets marked;
+    propagate marks across runs before counting.
+    """
+    hit_first = acc[:-1]
+    first_occ = np.searchsorted(flat_vals, flat_vals, side="left")
+    hit_all = hit_first[first_occ]
+    return np.bincount(gid[hit_all], minlength=n_genomes).astype(np.int64)
+
+
+def _screen_rows(index: SketchIndex, hits: np.ndarray) -> List[dict]:
     sizes = index.sizes()
+    k = index.params.k
     out = []
     for g in range(len(index)):
         c = float(hits[g]) / float(sizes[g]) if sizes[g] > 0 else 0.0
@@ -294,6 +363,29 @@ def screen(
             }
         )
     return out
+
+
+def screen(
+    index: SketchIndex, reads_path, flat: int = DEFAULT_READ_FLAT
+) -> List[dict]:
+    """Containment of each DB genome's sketch in the read stream
+    (SURVEY.md §3.3): c_g = |S(g) ∩ H(reads)| / |S(g)|."""
+    k = index.params.k
+    flat_vals, gid = _flatten_db(index)
+    if len(flat_vals) == 0:
+        return _screen_rows(index, np.zeros(len(index), np.int64))
+    db_hi, db_lo = (jnp.asarray(x) for x in
+                    ((flat_vals >> np.uint64(32)).astype(np.uint32),
+                     (flat_vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
+    thr = flat_vals[-1]  # the largest sketch hash anywhere in the DB
+    thr_hi = jnp.uint32(int(thr >> np.uint64(32)))
+    thr_lo = jnp.uint32(int(thr & np.uint64(0xFFFFFFFF)))
+    acc = jnp.zeros(len(flat_vals) + 1, dtype=jnp.bool_)
+    for batch in _packed_read_batches(reads_path, k, flat):
+        acc = _screen_update(acc, db_hi, db_lo, thr_hi, thr_lo,
+                             jnp.asarray(batch), k)
+    hits = _hits_from_bitmap(flat_vals, gid, np.asarray(acc), len(index))
+    return _screen_rows(index, hits)
 
 
 # ---------------------------------------------------------------- output

@@ -1,15 +1,19 @@
 """Pallas TPU kernel for batched sorted-sketch intersection (M3; the
 "sorted-merge sketch-intersection kernel" of BASELINE.json north_star).
 
-Per grid cell, a (BI × BJ) block of sketch pairs is merged entirely in VMEM
-with a bitonic merge network (log2(2·sp) compare-exchange stages of
-lane-rolls + selects — no gathers, which XLA scalarizes on TPU, and no
-lax.sort, which costs O(n log² n)).  Dup flags, distinct ranks (log-doubling
-prefix sum) and the three Mash counts come out of the same VMEM pass, so
-HBM sees only the two sketch blocks in and three [Ti, Tj] count tiles out.
+Design: grid over row blocks of BI=8 sketches (one full sublane group).
+The column sketches stay in HBM (memory_space ANY); the kernel streams them
+one at a time into a double-buffered VMEM scratch with async DMA, so the
+next column's transfer overlaps the current column's merge.  Each (row
+block, column) step runs a bitonic merge network over the [BI, 2·sp]
+concatenation — log2(2·sp) compare-exchange stages of lane-rolls + selects;
+no gathers (XLA scalarizes them on TPU) and no lax.sort (O(n log² n)).
+Dup flags, distinct ranks (log-doubling prefix sum) and the three Mash
+counts come from the same VMEM-resident pass.
 
 Count semantics are identical to ops.intersect.pair_counts_merge
-(property-tested); sketch widths must be a power of two (INF-padded).
+(property-tested in tests/test_ops_intersect.py and on-device in
+tools/tpu_eval.py); sketch widths must be a power of two (INF-padded).
 """
 
 from __future__ import annotations
@@ -24,8 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import u64
 
-BI = 4  # row sketches per grid cell
-BJ = 2  # col sketches per grid cell  (BI*BJ = 8 → full sublane occupancy)
+BI = 8  # row sketches per grid cell (= sublane count)
 
 
 def _roll(x, d):
@@ -44,7 +47,8 @@ def _bitonic_merge(hi, lo, sp):
         mh, ml = _roll(hi, d), _roll(lo, d)
         less_up = (hi < ph) | ((hi == ph) & (lo <= pl_))
         less_dn = (mh < hi) | ((mh == hi) & (ml <= lo))
-        keep = jnp.where(up, less_up, less_dn)
+        # keep as pure logic ops — Mosaic can't select between i1 vectors
+        keep = (up & less_up) | (~up & less_dn)
         hi = jnp.where(keep, hi, jnp.where(up, ph, mh))
         lo = jnp.where(keep, lo, jnp.where(up, pl_, ml))
         d //= 2
@@ -61,20 +65,12 @@ def _prefix_sum(x, pos):
     return x
 
 
-def _tile_kernel(rhi_ref, rlo_ref, chi_ref, clo_ref,
-                 shared_ref, union_ref, inter_ref, *, s: int, sp: int):
-    # rows [BI, sp]; cols [BJ, sp] ALREADY lane-reversed by the caller
-    # (descending, INF padding at the front) so concat(rows, cols) is bitonic.
-    bi, bj = rhi_ref.shape[0], chi_ref.shape[0]
-    r = bi * bj
-
-    def cross(a, c):  # [BI, sp] x [BJ, sp] → [BI*BJ, 2sp]
-        ab = jnp.broadcast_to(a[:, None, :], (bi, bj, sp)).reshape(r, sp)
-        cb = jnp.broadcast_to(c[None, :, :], (bi, bj, sp)).reshape(r, sp)
-        return jnp.concatenate([ab, cb], axis=1)
-
-    hi = cross(rhi_ref[...], chi_ref[...])
-    lo = cross(rlo_ref[...], clo_ref[...])
+def _counts_for_col(rhi, rlo, chi_row, clo_row, s: int, sp: int):
+    """rows [BI, sp] vs ONE column sketch [1, sp] (already lane-reversed):
+    → (shared, union, inter) int32 [BI]."""
+    bi = rhi.shape[0]
+    hi = jnp.concatenate([rhi, jnp.broadcast_to(chi_row, (bi, sp))], axis=1)
+    lo = jnp.concatenate([rlo, jnp.broadcast_to(clo_row, (bi, sp))], axis=1)
     hi, lo = _bitonic_merge(hi, lo, sp)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 1)
@@ -83,14 +79,61 @@ def _tile_kernel(rhi_ref, rlo_ref, chi_ref, clo_ref,
     dup = jnp.where(prev_eq & valid, 1, 0)
     distinct = jnp.where(valid, 1, 0) - dup
     rank = _prefix_sum(distinct, pos)
-    in_x = rank <= s
-
-    shared = jnp.sum(jnp.where(in_x, dup, 0), axis=1)
+    shared = jnp.sum(jnp.where(rank <= s, dup, 0), axis=1)
     union = jnp.minimum(jnp.sum(distinct, axis=1), s)
     inter = jnp.sum(dup, axis=1)
-    shared_ref[...] = shared.reshape(bi, bj)
-    union_ref[...] = union.reshape(bi, bj)
-    inter_ref[...] = inter.reshape(bi, bj)
+    return shared, union, inter
+
+
+def _tile_kernel(rhi_ref, rlo_ref, chi_hbm, clo_hbm,
+                 shared_ref, union_ref, inter_ref,
+                 buf_hi, buf_lo, sems, *, s: int, sp: int, tj: int):
+    rhi = rhi_ref[...]
+    rlo = rlo_ref[...]
+
+    def dma(slot, j):
+        return (
+            pltpu.make_async_copy(chi_hbm.at[pl.ds(j, 1), :],
+                                  buf_hi.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(clo_hbm.at[pl.ds(j, 1), :],
+                                  buf_lo.at[slot], sems.at[slot, 1]),
+        )
+
+    for d in dma(0, 0):
+        d.start()
+
+    bi = rhi.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bi, tj), 1)
+    zeros = jnp.zeros((bi, tj), jnp.int32)
+
+    def body(j, carry):
+        sh_acc, un_acc, in_acc = carry
+        slot = jax.lax.rem(j, 2)
+        nxt = jax.lax.rem(j + 1, 2)
+
+        @pl.when(j + 1 < tj)
+        def _():
+            for d in dma(nxt, j + 1):
+                d.start()
+
+        for d in dma(slot, j):
+            d.wait()
+        shared, union, inter = _counts_for_col(
+            rhi, rlo, buf_hi[slot], buf_lo[slot], s, sp
+        )
+        # Single dynamic-lane stores are not supported by Mosaic; select the
+        # column into register accumulators and store once after the loop.
+        hit = lane == j
+        return (
+            jnp.where(hit, shared[:, None], sh_acc),
+            jnp.where(hit, union[:, None], un_acc),
+            jnp.where(hit, inter[:, None], in_acc),
+        )
+
+    sh, un, it_ = jax.lax.fori_loop(0, tj, body, (zeros, zeros, zeros))
+    shared_ref[...] = sh
+    union_ref[...] = un
+    inter_ref[...] = it_
 
 
 @partial(jax.jit, static_argnames=("s", "interpret"))
@@ -100,47 +143,44 @@ def tile_counts_pallas(rows: u64.Pair, cols: u64.Pair, s: int,
 
     rows [(Ti, sp)], cols [(Tj, sp)] with sp a power of two (use
     intersect._pad_pow2).  Returns {"shared_in_x", "union_size",
-    "inter_full", "n_a", "n_b"} of int32 [Ti, Tj] / [Ti] / [Tj] — the same
-    contract as intersect.tile_counts.
+    "inter_full"} int32 [Ti, Tj] plus n_a int32 [Ti] / n_b int32 [Tj] —
+    count semantics as intersect.pair_counts_merge.
     """
     ti, sp = rows[0].shape
     tj = cols[0].shape[0]
     if sp & (sp - 1) or cols[0].shape[1] != sp:
         raise ValueError(f"power-of-two sketch width required, got {sp}")
-    ti_p, tj_p = -(-ti // BI) * BI, -(-tj // BJ) * BJ
+    ti_p = -(-ti // BI) * BI
 
-    def pad(p, n_to, fill):
-        if p[0].shape[0] == n_to:
-            return p
-        cfg = ((0, n_to - p[0].shape[0]), (0, 0))
-        return (jnp.pad(p[0], cfg, constant_values=fill),
-                jnp.pad(p[1], cfg, constant_values=fill))
-
-    rows = pad(rows, ti_p, u64.INF_HI)
-    cols = pad(cols, tj_p, u64.INF_HI)
+    if ti_p != ti:
+        cfg = ((0, ti_p - ti), (0, 0))
+        rows = (jnp.pad(rows[0], cfg, constant_values=u64.INF_HI),
+                jnp.pad(rows[1], cfg, constant_values=u64.INF_LO))
     # Reverse cols on the XLA side (one flip) so the kernel concat is bitonic.
     cols_rev = (cols[0][:, ::-1], cols[1][:, ::-1])
 
-    out_shape = jax.ShapeDtypeStruct((ti_p, tj_p), jnp.int32)
-    row_spec = pl.BlockSpec((BI, sp), lambda i, j: (i, 0),
-                            memory_space=pltpu.VMEM)
-    col_spec = pl.BlockSpec((BJ, sp), lambda i, j: (j, 0),
-                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((BI, BJ), lambda i, j: (i, j),
-                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((ti_p, tj), jnp.int32)
+    row_spec = pl.BlockSpec((BI, sp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM; DMA'd
+    out_spec = pl.BlockSpec((BI, tj), lambda i: (i, 0), memory_space=pltpu.VMEM)
     shared, union, inter = pl.pallas_call(
-        partial(_tile_kernel, s=s, sp=sp),
-        grid=(ti_p // BI, tj_p // BJ),
+        partial(_tile_kernel, s=s, sp=sp, tj=tj),
+        grid=(ti_p // BI,),
         in_specs=[row_spec, row_spec, col_spec, col_spec],
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(out_shape, out_shape, out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, sp), jnp.uint32),
+            pltpu.VMEM((2, 1, sp), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
         interpret=interpret,
     )(rows[0], rows[1], cols_rev[0], cols_rev[1])
 
     return {
-        "shared_in_x": shared[:ti, :tj],
-        "union_size": union[:ti, :tj],
-        "inter_full": inter[:ti, :tj],
+        "shared_in_x": shared[:ti],
+        "union_size": union[:ti],
+        "inter_full": inter[:ti],
         "n_a": jnp.sum(~u64.is_inf(rows), axis=-1).astype(jnp.int32)[:ti],
-        "n_b": jnp.sum(~u64.is_inf(cols), axis=-1).astype(jnp.int32)[:tj],
+        "n_b": jnp.sum(~u64.is_inf(cols), axis=-1).astype(jnp.int32),
     }

@@ -1,0 +1,98 @@
+"""One-shot TPU eval: correctness vs oracle + perf for all impl variants."""
+import os, sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
+print("backend:", jax.default_backend(), flush=True)
+from miekki_tpu.oracle import nthash as O
+from miekki_tpu.oracle import compare as OC
+from miekki_tpu.ops import hash as H, sketch as S, intersect as I, u64
+from miekki_tpu.ops import pallas_intersect as PI
+
+rng = np.random.default_rng(0)
+k = 31
+
+def sync(x): jax.block_until_ready(x); return x
+
+def timeit(f, *a, n=4):
+    sync(f(*a))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter(); sync(f(*a)); ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+# ---------- correctness: hash ----------
+codes = rng.integers(0, 5, size=2048 + k - 1, dtype=np.int64)
+oh, ov = O.hash_kmers(codes, k)
+codes2d_x = jnp.asarray(codes[None, :].repeat(8, 0), jnp.int32)
+(dh, dl), dv = H.hash_windows(codes2d_x, k)
+dev = u64.join(np.asarray(dh)[0], np.asarray(dl)[0])
+ref = np.where(ov, oh, np.uint64(0xFFFFFFFFFFFFFFFF))
+print("hash xla mismatches:", int((dev != ref).sum()), "/", len(dev), flush=True)
+
+from miekki_tpu.ops import pallas_hash as PH
+codes2 = codes[None, :].repeat(8, 0)
+(ph, pl2), pv = PH.hash_windows_pallas(jnp.asarray(codes2, jnp.int32), k)
+pdev = u64.join(np.asarray(ph)[0], np.asarray(pl2)[0])
+print("hash pallas mismatches:", int((pdev != ref).sum()), "/", len(ref), flush=True)
+
+# ---------- correctness: sketch ----------
+g = rng.integers(0, 4, size=100_000, dtype=np.int64)
+want = np.unique(O.canonical_hashes(g, k))[:1000]
+for impl in ("xla", "pallas"):
+    os.environ["MIEKKI_HASH"] = impl
+    S.sketch_chunked.clear_cache()
+    got = S.sketch_codes_device(g.astype(np.uint8), k, 1000)
+    print(f"sketch[{impl}] == oracle:", np.array_equal(got, want), flush=True)
+
+# ---------- correctness: intersect (8x8 tile vs numpy oracle) ----------
+s_small = 256
+sketches = []
+for i in range(16):
+    gg = rng.integers(0, 4, size=3000, dtype=np.int64)
+    if i % 2: gg[:1500] = sketches_src  # overlap with prev genome
+    sketches_src = gg[:1500].copy()
+    sketches.append(np.unique(O.canonical_hashes(gg, k))[:s_small])
+pad = np.uint64(0xFFFFFFFFFFFFFFFF)
+tab = np.full((16, s_small), pad, np.uint64)
+for i, sk in enumerate(sketches): tab[i, :len(sk)] = sk
+hi = jnp.asarray((tab >> np.uint64(32)).astype(np.uint32)); lo = jnp.asarray((tab & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+rows, cols = (hi[:8], lo[:8]), (hi[8:], lo[8:])
+oracle_shared = np.zeros((8, 8), np.int64); oracle_union = np.zeros((8, 8), np.int64)
+for i in range(8):
+    for j in range(8):
+        sh, un, _ = OC.mash_jaccard(sketches[i], sketches[8 + j], s_small)
+        oracle_shared[i, j], oracle_union[i, j] = sh, un
+for impl in ("bitonic", "pallas"):
+    os.environ["MIEKKI_INTERSECT"] = impl
+    I.tile_counts.clear_cache()
+    c = I.tile_counts(rows, cols, s_small)
+    ok = np.array_equal(np.asarray(c["shared_in_x"]), oracle_shared) and \
+         np.array_equal(np.asarray(c["union_size"]), oracle_union)
+    print(f"intersect[{impl}] == oracle:", ok, flush=True)
+
+# ---------- perf: sketch ----------
+s = 10_000
+C, NC = 1 << 13, 2048
+big = jnp.asarray(rng.integers(0, 4, size=(NC, C + k - 1), dtype=np.uint8))
+for impl in ("xla", "pallas"):
+    os.environ["MIEKKI_HASH"] = impl
+    S.sketch_chunked.clear_cache()
+    f = lambda r: S.sketch_chunked(r, k, s)
+    dt = timeit(f, big)
+    print(f"PERF sketch[{impl}]: {dt*1e3:.2f} ms = {NC*C/dt/1e9:.2f} Gbase/s", flush=True)
+
+# ---------- perf: intersect ----------
+T = 128
+tab = np.sort(rng.integers(0, 2**63, size=(2*T, s), dtype=np.uint64), axis=-1)
+thi = jnp.asarray((tab >> np.uint64(32)).astype(np.uint32)); tlo = jnp.asarray((tab & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+rows, cols = (thi[:T], tlo[:T]), (thi[T:], tlo[T:])
+for impl in ("pallas", "bitonic"):
+    os.environ["MIEKKI_INTERSECT"] = impl
+    I.tile_counts.clear_cache()
+    f = lambda a0, a1, b0, b1: I.tile_counts((a0, a1), (b0, b1), s)
+    try:
+        dt = timeit(f, rows[0], rows[1], cols[0], cols[1])
+        print(f"PERF intersect[{impl}]: {dt*1e3:.2f} ms = {T*T/dt/1e3:.1f}k pairs/s", flush=True)
+    except Exception as e:
+        print(f"PERF intersect[{impl}] FAILED: {type(e).__name__} {str(e)[:160]}", flush=True)
+print("DONE", flush=True)
