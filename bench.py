@@ -68,6 +68,12 @@ def bench_pairs(s: int = 10_000, tile: int = 128) -> float:
 
 
 def main() -> None:
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from miekki_tpu.utils import compile_cache
+
+    compile_cache.enable()
     gbases = bench_sketch()
     pairs = bench_pairs()
     print(json.dumps({

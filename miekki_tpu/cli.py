@@ -149,6 +149,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from .utils import compile_cache
+
+    compile_cache.enable()
     args = build_parser().parse_args(argv)
     if getattr(args, "profile", None):
         import jax

@@ -92,11 +92,14 @@ def _tile_kernel(rhi_ref, rlo_ref, chi_hbm, clo_hbm,
     rlo = rlo_ref[...]
 
     def dma(slot, j):
+        # cols are laid out [tj, 1, sp] so a single-column slice keeps its
+        # last two dims (1, sp) intact — slicing one row of a [tj, sp]
+        # array would break the (8, 128) sublane tiling.
         return (
-            pltpu.make_async_copy(chi_hbm.at[pl.ds(j, 1), :],
-                                  buf_hi.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(clo_hbm.at[pl.ds(j, 1), :],
-                                  buf_lo.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(chi_hbm.at[j], buf_hi.at[slot],
+                                  sems.at[slot, 0]),
+            pltpu.make_async_copy(clo_hbm.at[j], buf_lo.at[slot],
+                                  sems.at[slot, 1]),
         )
 
     for d in dma(0, 0):
@@ -156,8 +159,10 @@ def tile_counts_pallas(rows: u64.Pair, cols: u64.Pair, s: int,
         cfg = ((0, ti_p - ti), (0, 0))
         rows = (jnp.pad(rows[0], cfg, constant_values=u64.INF_HI),
                 jnp.pad(rows[1], cfg, constant_values=u64.INF_LO))
-    # Reverse cols on the XLA side (one flip) so the kernel concat is bitonic.
-    cols_rev = (cols[0][:, ::-1], cols[1][:, ::-1])
+    # Reverse cols on the XLA side (one flip) so the kernel concat is
+    # bitonic; [tj, 1, sp] layout keeps per-column DMA slices tile-aligned.
+    cols_rev = (cols[0][:, ::-1].reshape(tj, 1, sp),
+                cols[1][:, ::-1].reshape(tj, 1, sp))
 
     out_shape = jax.ShapeDtypeStruct((ti_p, tj), jnp.int32)
     row_spec = pl.BlockSpec((BI, sp), lambda i: (i, 0), memory_space=pltpu.VMEM)

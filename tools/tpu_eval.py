@@ -2,6 +2,8 @@
 import os, sys, time
 sys.path.insert(0, "/root/repo")
 import numpy as np, jax, jax.numpy as jnp
+from miekki_tpu.utils import compile_cache
+compile_cache.enable()
 print("backend:", jax.default_backend(), flush=True)
 from miekki_tpu.oracle import nthash as O
 from miekki_tpu.oracle import compare as OC
