@@ -303,8 +303,51 @@ def _screen_update(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes, k: int):
                                flat_codes, k)
 
 
+def _packed_read_batches_fast(path, k: int, flat: int) -> Iterator[np.ndarray]:
+    """Vectorized batch packing over the native parser's flat output.
+
+    Builds one virtual stream: records joined by k-1 INVALID separator bases
+    (windows spanning a record boundary are masked by the separator), then
+    slices overlapping [flat + k - 1] rows with stride `flat` — identical
+    window semantics to the per-record packer below, but one numpy
+    gather-scatter instead of a Python loop per record (10M-read workloads).
+    """
+    from .io import native as _native
+
+    names_codes = [c for _, c in _native.read_encoded_native(path)]
+    if not names_codes:
+        return
+    lengths = np.fromiter((len(c) for c in names_codes), np.int64,
+                          len(names_codes))
+    total = int(lengths.sum())
+    if total == 0:
+        return
+    all_codes = np.concatenate(names_codes)
+    gap = k - 1
+    rec_of_code = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    dest = np.arange(total, dtype=np.int64) + gap * rec_of_code
+    expanded = np.full(total + gap * max(0, len(lengths) - 1) + gap,
+                       _encode.INVALID_CODE, np.uint8)
+    expanded[dest] = all_codes
+    width = flat + k - 1
+    for start in range(0, len(expanded) - gap, flat):
+        row = expanded[start : start + width]
+        if len(row) < width:
+            row = np.concatenate(
+                [row, np.full(width - len(row), _encode.INVALID_CODE, np.uint8)]
+            )
+        yield row
+
+
 def _packed_read_batches(path, k: int, flat: int) -> Iterator[np.ndarray]:
-    """Pack read records into int32[F + k - 1] arrays, separator-delimited."""
+    """Pack read records into uint8[F + k - 1] arrays, separator-delimited.
+
+    Dispatches to the vectorized native-parser path when available."""
+    from .io import native as _native
+
+    if _native.available():
+        yield from _packed_read_batches_fast(path, k, flat)
+        return
     buf = np.full(flat + k - 1, _encode.INVALID_CODE, dtype=np.uint8)
     pos = 0
     step = flat - k + 1  # long records are split with k-1 overlap so every

@@ -111,3 +111,27 @@ def test_engine_uses_native_transparently(tmp_path):
     assert [n for n, _ in via_dispatch] == [n for n, _ in py]
     for (_, a), (_, b) in zip(via_dispatch, py):
         assert np.array_equal(a, b)
+
+
+def test_screen_same_with_fast_and_slow_packers(tmp_path, monkeypatch):
+    """engine.screen must give identical rows whether read batches come from
+    the vectorized native packer or the per-record Python packer."""
+    from miekki_tpu import engine
+    from miekki_tpu.params import SketchParams
+    from fixtures import make_genome_family, reads_from_genome, write_fasta, write_fastq
+
+    rng = np.random.default_rng(17)
+    genomes = make_genome_family(rng, 3, 4000, sub_rate=0.05)
+    paths = [write_fasta(tmp_path / f"g{i}.fa", [(f"g{i}", g)])
+             for i, g in enumerate(genomes)]
+    idx = engine.build_index(paths, SketchParams(k=21, s=300))
+    reads = reads_from_genome(rng, genomes[1], 150, 90)
+    rp = write_fastq(tmp_path / "r.fq", [(f"r{i}", s) for i, s in enumerate(reads)])
+
+    fast = engine.screen(idx, rp, flat=2048)
+    monkeypatch.setenv("MIEKKI_NATIVE_IO", "0")
+    import miekki_tpu.io.native as N2
+    monkeypatch.setattr(N2, "_lib_checked", False)
+    monkeypatch.setattr(N2, "_lib", None)
+    slow = engine.screen(idx, rp, flat=2048)
+    assert fast == slow
