@@ -20,25 +20,34 @@ import numpy as np
 BASELINE_GBASES = 1.0  # Gbase/s/chip — BASELINE.md roofline anchor
 
 
-def _time(fn, *args, warmup: int = 2, iters: int = 7) -> float:
-    """Median of per-iteration wall times, each fully synchronized —
-    async dispatch makes aggregate loop timing wildly optimistic."""
+def _sync(out):
+    """Force REAL completion: pull every output leaf to the host.  On the
+    tunneled TPU platform block_until_ready alone has been observed to
+    return before execution finishes; a device→host copy cannot lie."""
     import jax
 
+    return [np.asarray(x) for x in jax.tree.leaves(out)]
+
+
+def _time(fn, *args, warmup: int = 2, iters: int = 7) -> float:
+    """Median of per-iteration wall times, each synchronized via _sync."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
 
 
-def bench_sketch(k: int = 31, s: int = 10_000, chunk: int = 1 << 20,
-                 n_chunks: int = 16) -> float:
-    """Gbases/s through sketch_chunked (the sketch-phase hot path)."""
+def bench_sketch(k: int = 31, s: int = 10_000, chunk: int = 1 << 13,
+                 n_chunks: int = 2048) -> float:
+    """Gbases/s through sketch_chunked (the sketch-phase hot path).
+
+    Uses the engine's production layout: narrow 8K-base rows (Pallas
+    VMEM-sized), grouped into ~512K-base scan steps."""
     import jax.numpy as jnp
     from miekki_tpu.ops import sketch as _sketch
 

@@ -67,11 +67,22 @@ def merge_into_sketch(
 ) -> u64.Pair:
     """Merge candidate hashes (INF = masked) into a bottom-s sketch.
 
-    Exact bottom-s-distinct semantics; the budgeted fast path and the full
-    fallback produce identical results (property-tested vs the oracle).
+    Exact bottom-s-distinct semantics under either strategy
+    (MIEKKI_MERGE env, property-tested vs the oracle):
+
+    * ``sort`` (default): branch-free full sort-dedup-truncate.  The TPU
+      sort unit makes this cheap, and with no `lax.cond` it stays real
+      control-flow-free — safe under vmap/scan (XLA converts cond to
+      select in batched contexts, executing BOTH branches).
+    * ``threshold``: prefilter h < current s-th min, compact survivors into
+      a fixed budget, sort only (s + budget); falls back to the full sort
+      via lax.cond when the budget overflows (cold sketch).
     """
+    import os
+
     c = hashes[0].size
-    if c <= budget + s:
+    strategy = os.environ.get("MIEKKI_MERGE", "sort").lower()
+    if strategy != "threshold" or c <= budget + s:
         return _merge_sorted_trunc(sketch, hashes, s)
 
     # Threshold: current s-th smallest (INF while unfilled).  h == T is
