@@ -35,8 +35,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 
 
 def _load_or_build(paths, args) -> SketchIndex:
-    if len(paths) == 1 and str(paths[0]).endswith(".npz"):
-        return SketchIndex.load(paths[0])
+    npz = [p for p in paths if str(p).endswith(".npz")]
+    if npz and len(npz) == len(paths):
+        if len(paths) == 1:
+            return SketchIndex.load(paths[0])
+        return SketchIndex.load_sharded(paths)  # per-host DB shards
     params = SketchParams(k=args.k, s=args.s)
     return engine.build_index(paths, params, chunk=args.chunk)
 
@@ -50,7 +53,11 @@ def cmd_sketch(args) -> int:
     t0 = time.perf_counter()
     index = engine.build_index(args.genomes, params, chunk=args.chunk)
     dt = time.perf_counter() - t0
-    index.save(args.output)
+    if args.shards > 1:
+        paths = index.save_sharded(args.output.removesuffix(".npz"), args.shards)
+        print(f"wrote {len(paths)} shards", file=sys.stderr)
+    else:
+        index.save(args.output)
     total = int(index.sizes().sum())
     _metrics.emit(args.metrics, phase="sketch", genomes=len(index),
                   sketch_hashes=total, seconds=dt)
@@ -63,6 +70,22 @@ def cmd_dist(args) -> int:
     index_a = _load_or_build(args.query, args)
     index_b = SketchIndex.load(args.ref) if args.ref else None
     t0 = time.perf_counter()
+    if args.distributed:
+        from .parallel import dist_sharded, local_mesh
+
+        counts = dist_sharded(index_a, local_mesh(), index_b=index_b)
+        rows = engine.rows_from_count_matrices(
+            index_a, counts["shared"], counts["union"], index_b
+        )
+        dt = time.perf_counter() - t0
+        with _out(args) as f:
+            f.write(engine.rows_to_tsv(rows))
+        _metrics.emit(args.metrics, phase="dist", pairs=len(rows), seconds=dt,
+                      pairs_per_s=len(rows) / dt if dt > 0 else 0.0,
+                      distributed=True)
+        print(f"compared {len(rows)} pairs on the device mesh in {dt:.2f}s",
+              file=sys.stderr)
+        return 0
     if args.manifest:
         if args.output == "-":
             print("dist: --manifest requires -o FILE", file=sys.stderr)
@@ -88,7 +111,15 @@ def cmd_dist(args) -> int:
 def cmd_screen(args) -> int:
     index = SketchIndex.load(args.db)
     t0 = time.perf_counter()
-    rows = engine.screen(index, args.reads, flat=args.flat)
+    if args.distributed:
+        from .parallel import local_mesh, screen_sharded
+        from .parallel.mesh import DATA_AXIS
+
+        rows = screen_sharded(index, args.reads,
+                              local_mesh(axis_names=(DATA_AXIS,)),
+                              flat=args.flat)
+    else:
+        rows = engine.screen(index, args.reads, flat=args.flat)
     dt = time.perf_counter() - t0
     cols = ("reference", "hits", "sketch_size", "containment", "ani")
     with _out(args) as f:
@@ -118,6 +149,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("sketch", help="sketch genomes into an index file")
     p.add_argument("genomes", nargs="+")
     p.add_argument("-o", "--output", required=True, help="output index (.npz)")
+    p.add_argument("--shards", type=int, default=1,
+                   help="split the index into N per-host shard files")
     _add_common(p)
     p.set_defaults(fn=cmd_sketch)
 
@@ -130,6 +163,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--manifest", default=None, metavar="FILE",
                    help="JSONL tile manifest enabling checkpoint/resume of "
                    "the comparison (rerun with the same args to continue)")
+    p.add_argument("--distributed", action="store_true",
+                   help="shard the DB across all visible devices and run the "
+                   "ppermute-ring all-vs-all")
     _add_common(p)
     p.set_defaults(fn=cmd_dist)
 
@@ -139,6 +175,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", default="-")
     p.add_argument("--flat", type=int, default=engine.DEFAULT_READ_FLAT,
                    help="packed bases per screening batch")
+    p.add_argument("--distributed", action="store_true",
+                   help="stream read batches data-parallel across all "
+                   "visible devices (pmax bitmap merge)")
     _add_common(p)
     p.set_defaults(fn=cmd_screen)
 

@@ -159,6 +159,29 @@ def dist(index_a: SketchIndex, index_b: Optional[SketchIndex] = None,
     return sorted(dist_iter(index_a, index_b, tile), key=lambda r: (r["i"], r["j"]))
 
 
+def rows_from_count_matrices(
+    index_a: SketchIndex,
+    shared: np.ndarray,
+    union: np.ndarray,
+    index_b: Optional[SketchIndex] = None,
+) -> List[dict]:
+    """Comparison rows from full [N_a, N_b] count matrices (the
+    parallel.dist_sharded output) — identical rows to engine.dist."""
+    self_compare = index_b is None
+    idx_b = index_a if self_compare else index_b
+    k = index_a.params.k
+    rows = []
+    for i in range(len(index_a)):
+        j0 = i + 1 if self_compare else 0
+        for j in range(j0, len(idx_b)):
+            row = _row_from_counts(int(shared[i, j]), int(union[i, j]), k)
+            row["query"] = index_a.names[i]
+            row["reference"] = idx_b.names[j]
+            row["i"], row["j"] = i, j
+            rows.append(row)
+    return rows
+
+
 def dist_resumable(
     index_a: SketchIndex,
     out_path,

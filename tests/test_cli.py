@@ -80,3 +80,61 @@ def test_dist_from_fasta_directly(setup):
     assert cli.main(["dist", *paths[:2], "-o", out_tsv, "-k", "21", "-s", "300"]) == 0
     lines = open(out_tsv).read().splitlines()
     assert len(lines) == 2
+
+
+def test_cli_dist_distributed_matches_plain(tmp_path):
+    """--distributed (8 fake devices) must give the identical TSV."""
+    import numpy as np
+    from fixtures import make_genome_family, write_fasta
+    from miekki_tpu.cli import main
+
+    rng = np.random.default_rng(23)
+    genomes = make_genome_family(rng, 5, 3000, sub_rate=0.04)
+    paths = [str(write_fasta(tmp_path / f"g{i}.fa", [(f"g{i}", g)]))
+             for i, g in enumerate(genomes)]
+    db = str(tmp_path / "db.npz")
+    main(["sketch", *paths, "-o", db, "-k", "21", "-s", "200"])
+    plain, dist_out = tmp_path / "a.tsv", tmp_path / "b.tsv"
+    main(["dist", db, "-o", str(plain)])
+    main(["dist", db, "-o", str(dist_out), "--distributed"])
+    assert plain.read_text() == dist_out.read_text()
+
+
+def test_cli_screen_distributed_matches_plain(tmp_path):
+    import numpy as np
+    from fixtures import make_genome_family, reads_from_genome, write_fasta, write_fastq
+    from miekki_tpu.cli import main
+
+    rng = np.random.default_rng(29)
+    genomes = make_genome_family(rng, 3, 3000, sub_rate=0.04)
+    paths = [str(write_fasta(tmp_path / f"g{i}.fa", [(f"g{i}", g)]))
+             for i, g in enumerate(genomes)]
+    db = str(tmp_path / "db.npz")
+    main(["sketch", *paths, "-o", db, "-k", "21", "-s", "200"])
+    reads = reads_from_genome(rng, genomes[0], 100, 80)
+    rp = str(write_fastq(tmp_path / "r.fq", [(f"r{i}", s) for i, s in enumerate(reads)]))
+    a, b = tmp_path / "a.tsv", tmp_path / "b.tsv"
+    main(["screen", db, rp, "-o", str(a)])
+    main(["screen", db, rp, "-o", str(b), "--distributed"])
+    assert a.read_text() == b.read_text()
+
+
+def test_cli_sharded_sketch_and_dist(tmp_path):
+    import glob
+    import numpy as np
+    from fixtures import make_genome_family, write_fasta
+    from miekki_tpu.cli import main
+
+    rng = np.random.default_rng(31)
+    genomes = make_genome_family(rng, 6, 2000, sub_rate=0.03)
+    paths = [str(write_fasta(tmp_path / f"g{i}.fa", [(f"g{i}", g)]))
+             for i, g in enumerate(genomes)]
+    db = str(tmp_path / "db.npz")
+    main(["sketch", *paths, "-o", db, "-k", "21", "-s", "100", "--shards", "3"])
+    shards = sorted(glob.glob(str(tmp_path / "db.shard*.npz")))
+    assert len(shards) == 3
+    a, b = tmp_path / "a.tsv", tmp_path / "b.tsv"
+    main(["sketch", *paths, "-o", db, "-k", "21", "-s", "100"])
+    main(["dist", db, "-o", str(a)])
+    main(["dist", *shards, "-o", str(b)])
+    assert a.read_text() == b.read_text()
