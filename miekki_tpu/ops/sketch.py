@@ -81,7 +81,7 @@ def merge_into_sketch(
     import os
 
     c = hashes[0].size
-    strategy = os.environ.get("MIEKKI_MERGE", "sort").lower()
+    strategy = os.environ.get("MIEKKI_MERGE", "threshold").lower()
     if strategy != "threshold" or c <= budget + s:
         return _merge_sorted_trunc(sketch, hashes, s)
 
@@ -91,18 +91,26 @@ def merge_into_sketch(
     keep = u64.less(hashes, thr)
     m = jnp.sum(keep.astype(jnp.int32))
 
-    def small(_):
-        (idx,) = jnp.nonzero(keep, size=budget, fill_value=c)
-        cand = (
-            jnp.take(hashes[0], idx, mode="fill", fill_value=u64.INF_HI),
-            jnp.take(hashes[1], idx, mode="fill", fill_value=u64.INF_LO),
-        )
-        return _merge_sorted_trunc(sketch, cand, s)
+    # Compact survivors with top_k over int32 position keys: kept positions
+    # carry their index (>= 0), others -1, so when m <= budget EVERY kept
+    # position is selected (order among them is irrelevant — the small
+    # merge sorts).  Cheaper than nonzero (internal big sort) or cumsum
+    # (slow sequential lowering on TPU).
+    pos = jax.lax.broadcasted_iota(jnp.int32, (c,), 0)
+    key = jnp.where(keep, pos, -1)
+    _, idx = jax.lax.top_k(key, budget)
+    cand = (hashes[0][idx], hashes[1][idx])  # non-kept picks are >= thr:
+    # they sort behind every kept value and are truncated by the merge.
+    small = _merge_sorted_trunc(sketch, cand, s)
 
-    def full(_):
-        return _merge_sorted_trunc(sketch, hashes, s)
+    # Exact overflow fallback (m > budget: cold sketch or highly repetitive
+    # genomes).  lax.while_loop is genuine control flow on TPU — unlike
+    # lax.cond, it can never be lowered to a both-branches select.
+    def fb_body(_state):
+        return jnp.bool_(False), _merge_sorted_trunc(sketch, hashes, s)
 
-    return lax.cond(m <= budget, small, full, None)
+    _, out = lax.while_loop(lambda st: st[0], fb_body, (m > budget, small))
+    return out
 
 
 # Target number of window starts hashed per scan step; rows are grouped so

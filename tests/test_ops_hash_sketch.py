@@ -124,3 +124,49 @@ class TestSketchDevice:
             oracle_sketch.bottom_s(np.concatenate(seen), s), s
         )
         np.testing.assert_array_equal(got, want)
+
+
+def test_merge_threshold_overflow_fallback(monkeypatch):
+    """Force the while_loop overflow fallback (m > budget) and check it is
+    still exactly bottom-s distinct."""
+    import numpy as np
+    import jax.numpy as jnp
+    from miekki_tpu.ops import sketch as S, u64
+
+    monkeypatch.setenv("MIEKKI_MERGE", "threshold")
+    rng = np.random.default_rng(0)
+    s, budget = 16, 8
+    vals = rng.integers(0, 2**40, size=256, dtype=np.uint64)  # many survivors
+    hi, lo = u64.split(vals)
+    sk = S.empty_sketch(s)
+    out = S.merge_into_sketch(sk, (jnp.asarray(hi), jnp.asarray(lo)), s,
+                              budget=budget)
+    got = u64.join(np.asarray(out[0]), np.asarray(out[1]))
+    want = np.unique(vals)[:s]
+    assert np.array_equal(got, want)
+
+
+def test_merge_threshold_small_path_with_duplicates(monkeypatch):
+    """Repetitive input (many duplicate survivors) through the top_k
+    compaction path must stay exact."""
+    import numpy as np
+    import jax.numpy as jnp
+    from miekki_tpu.ops import sketch as S, u64
+
+    monkeypatch.setenv("MIEKKI_MERGE", "threshold")
+    rng = np.random.default_rng(1)
+    s, budget = 8, 32
+    base = rng.integers(0, 2**40, size=8, dtype=np.uint64)
+    vals = np.tile(base, 8)  # 64 values, only 8 distinct
+    # seed the sketch so thr is finite and c > budget + s triggers the path
+    seed_vals = np.sort(rng.integers(2**41, 2**42, size=s, dtype=np.uint64))
+    shi, slo = u64.split(seed_vals)
+    pad = np.full(200 - len(vals), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+    vals_p = np.concatenate([vals, pad])
+    hi, lo = u64.split(vals_p)
+    out = S.merge_into_sketch((jnp.asarray(shi), jnp.asarray(slo)),
+                              (jnp.asarray(hi), jnp.asarray(lo)), s,
+                              budget=budget)
+    got = u64.join(np.asarray(out[0]), np.asarray(out[1]))
+    want = np.unique(np.concatenate([seed_vals, vals]))[:s]
+    assert np.array_equal(got, want)
