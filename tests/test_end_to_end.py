@@ -161,3 +161,21 @@ class TestIndexStore:
         ib = engine.build_index(paths[:2], SketchParams(k=31, s=params.s), chunk=8192)
         with pytest.raises(ValueError, match="incompatible"):
             list(engine.dist_iter(ia, ib))
+
+
+def test_screen_repeatable_with_donation(tmp_path):
+    """_screen_update donates its accumulator (input_output aliasing); two
+    back-to-back runs must not interfere (SURVEY.md §5 'race detection':
+    donated-buffer aliasing is the one sharp edge in the functional model)."""
+    rng = np.random.default_rng(77)
+    genomes = make_genome_family(rng, 3, 3000, sub_rate=0.04)
+    paths = [write_fasta(tmp_path / f"g{i}.fa", [(f"g{i}", g)])
+             for i, g in enumerate(genomes)]
+    idx = engine.build_index(paths, SketchParams(k=21, s=150))
+    reads = reads_from_genome(rng, genomes[2], 120, 90)
+    rp = write_fastq(tmp_path / "r.fq",
+                     [(f"r{i}", s) for i, s in enumerate(reads)])
+    r1 = engine.screen(idx, rp, flat=2048)
+    r2 = engine.screen(idx, rp, flat=2048)
+    assert r1 == r2
+    assert r2[2]["containment"] > 0.5
