@@ -76,6 +76,7 @@ def ring_all_vs_all_counts(
         mesh=mesh,
         in_specs=(spec_db, spec_db),
         out_specs=(P(None, axis, None), P(None, axis, None)),
+        check_vma=False,  # pallas_call outputs carry no vma annotation
     )(db_hi, db_lo)
     # shared/union: [D, N, Nl]; at step t, global rows d*nl:(d+1)*nl hold the
     # intersection vs the block originally owned by device (d - t) mod D.
