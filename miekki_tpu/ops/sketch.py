@@ -62,6 +62,30 @@ def _merge_sorted_trunc(sketch: u64.Pair, cand: u64.Pair, s: int) -> u64.Pair:
     return hi[:s], lo[:s]
 
 
+TREE_WIDTH = 128  # lanes per row-local sort
+TREE_CAP = 32     # candidates kept per row per level
+
+
+def _tree_level(h: u64.Pair, cap: int = TREE_CAP, width: int = TREE_WIDTH):
+    """One reduction level: row-sort [C/width, width], keep the `cap`
+    smallest per row.  Returns ([C/width*cap] pair, overflowed bool) —
+    `overflowed` is True if any row had more than `cap` finite candidates
+    (counting duplicates), in which case the result may have dropped a
+    needed value and the caller must fall back to the exact path."""
+    c = h[0].size
+    rows = -(-c // width)
+    if rows * width != c:
+        pad = rows * width - c
+        h = (jnp.concatenate([h[0], jnp.full(pad, u64.INF_HI, jnp.uint32)]),
+             jnp.concatenate([h[1], jnp.full(pad, u64.INF_LO, jnp.uint32)]))
+    x0 = h[0].reshape(rows, width)
+    x1 = h[1].reshape(rows, width)
+    x0, x1 = jax.lax.sort((x0, x1), dimension=-1, num_keys=2)
+    finite = ~((x0 == u64.INF_HI) & (x1 == u64.INF_LO))
+    overflow = jnp.max(jnp.sum(finite.astype(jnp.int32), axis=-1)) > cap
+    return (x0[:, :cap].reshape(-1), x1[:, :cap].reshape(-1)), overflow
+
+
 def merge_into_sketch(
     sketch: u64.Pair, hashes: u64.Pair, s: int, budget: int = CAND_BUDGET
 ) -> u64.Pair:
@@ -81,9 +105,30 @@ def merge_into_sketch(
     import os
 
     c = hashes[0].size
-    strategy = os.environ.get("MIEKKI_MERGE", "threshold").lower()
-    if strategy != "threshold" or c <= budget + s:
+    strategy = os.environ.get("MIEKKI_MERGE", "tree").lower()
+    if strategy not in ("threshold", "tree") or c <= budget + s:
         return _merge_sorted_trunc(sketch, hashes, s)
+
+    if strategy == "tree":
+        # Hierarchical pre-reduction: threshold-mask, then levels of
+        # row-local width-128 sorts keeping the 32 smallest per row — no
+        # global sort/top_k over the full chunk (those dominate the step
+        # on TPU).  Any level overflow (cold sketch, highly repetitive
+        # input) triggers the exact full-sort fallback via while_loop.
+        thr = (sketch[0][s - 1], sketch[1][s - 1])
+        keep = u64.less(hashes, thr)
+        cand = u64.where(keep, hashes, u64.inf_like(keep.shape))
+        overflow = jnp.bool_(False)
+        while cand[0].size > 2 * budget:
+            cand, of = _tree_level(cand)
+            overflow = overflow | of
+        small = _merge_sorted_trunc(sketch, cand, s)
+
+        def fb_body(_state):
+            return jnp.bool_(False), _merge_sorted_trunc(sketch, hashes, s)
+
+        _, out = lax.while_loop(lambda st: st[0], fb_body, (overflow, small))
+        return out
 
     # Threshold: current s-th smallest (INF while unfilled).  h == T is
     # already in the sketch; h == INF is masked — both excluded by `less`.

@@ -170,3 +170,40 @@ def test_merge_threshold_small_path_with_duplicates(monkeypatch):
     got = u64.join(np.asarray(out[0]), np.asarray(out[1]))
     want = np.unique(np.concatenate([seed_vals, vals]))[:s]
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("strategy", ["sort", "threshold", "tree"])
+def test_merge_strategies_equivalent(monkeypatch, strategy):
+    """All merge strategies must produce the identical bottom-s sketch on a
+    streaming genome (incl. the cold-start overflow steps)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from miekki_tpu.ops import sketch as S, u64
+    from miekki_tpu.oracle import nthash as O
+
+    monkeypatch.setenv("MIEKKI_MERGE", strategy)
+    S.sketch_chunked.clear_cache()
+    rng = np.random.default_rng(42)
+    k, s = 21, 500
+    genome = rng.integers(0, 4, size=60_000, dtype=np.int64)
+    got = S.sketch_codes_device(genome.astype(np.uint8), k, s, chunk=4096)
+    want = np.unique(O.canonical_hashes(genome, k))[:s]
+    assert np.array_equal(got, want), strategy
+
+
+def test_merge_tree_repetitive_genome(monkeypatch):
+    """A highly repetitive genome (duplicate hashes crowd tree rows) must
+    still be exact via the overflow fallback."""
+    import numpy as np
+    from miekki_tpu.ops import sketch as S
+    from miekki_tpu.oracle import nthash as O
+
+    monkeypatch.setenv("MIEKKI_MERGE", "tree")
+    S.sketch_chunked.clear_cache()
+    rng = np.random.default_rng(7)
+    k, s = 21, 200
+    motif = rng.integers(0, 4, size=150, dtype=np.int64)
+    genome = np.tile(motif, 300)  # 45k bases, ~150 distinct k-mers
+    got = S.sketch_codes_device(genome.astype(np.uint8), k, s, chunk=4096)
+    want = np.unique(O.canonical_hashes(genome, k))[:s]
+    assert np.array_equal(got, want)
