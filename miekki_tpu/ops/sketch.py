@@ -193,7 +193,14 @@ def sketch_chunked(chunks: jax.Array, k: int, s: int, group: int = 0) -> u64.Pai
     step) with ONE bottom-s merge per group, so narrow rows don't pay a
     merge each.  Returns the [(s,), (s,)] sketch pair (ascending,
     INF-padded).
+
+    MIEKKI_MERGE=fused uses the single-pass Pallas kernel
+    (ops.pallas_sketch: hash + threshold + 16x reduction in VMEM) with an
+    exact full-merge fallback; other strategies hash first
+    (MIEKKI_HASH impl) and merge separately.
     """
+    import os
+
     n, w = chunks.shape
     g = group or max(1, min(n, STEP_TARGET // max(1, w - k + 1)))
     if n % g:
@@ -201,6 +208,36 @@ def sketch_chunked(chunks: jax.Array, k: int, s: int, group: int = 0) -> u64.Pai
             chunks, ((0, -n % g), (0, 0)), constant_values=_hash.INVALID_CODE
         )
     blocks = chunks.reshape(-1, g, w)
+
+    strategy = os.environ.get("MIEKKI_MERGE", "tree").lower()
+    if strategy == "fused" and (w - k + 1) % 2048 == 0:
+        from . import pallas_sketch as _ps
+
+        interp = jax.default_backend() != "tpu"
+
+        def body(carry, block):
+            thr = (carry[0][s - 1], carry[1][s - 1])
+            cand, overflow = _ps.hash_reduce_pallas(
+                block, k, thr, interpret=interp
+            )
+            flat = (cand[0].reshape(-1), cand[1].reshape(-1))
+            while flat[0].size > 2 * CAND_BUDGET:
+                flat, of = _tree_level(flat)
+                overflow = overflow | of
+            small = _merge_sorted_trunc(carry, flat, s)
+
+            def fb_body(_state):
+                h, _ = _hash.hash_windows(block, k)
+                full = (h[0].reshape(-1), h[1].reshape(-1))
+                return jnp.bool_(False), _merge_sorted_trunc(carry, full, s)
+
+            _, out = jax.lax.while_loop(
+                lambda st: st[0], fb_body, (overflow, small)
+            )
+            return out, None
+
+        out, _ = jax.lax.scan(body, empty_sketch(s), blocks)
+        return out
 
     def body(carry, block):
         h = _hash_rows(block, k)

@@ -172,7 +172,7 @@ def test_merge_threshold_small_path_with_duplicates(monkeypatch):
     assert np.array_equal(got, want)
 
 
-@pytest.mark.parametrize("strategy", ["sort", "threshold", "tree"])
+@pytest.mark.parametrize("strategy", ["sort", "threshold", "tree", "fused"])
 def test_merge_strategies_equivalent(monkeypatch, strategy):
     """All merge strategies must produce the identical bottom-s sketch on a
     streaming genome (incl. the cold-start overflow steps)."""

@@ -1,0 +1,147 @@
+"""Acceptance-config runner — BASELINE.json configs 1-5, sized by flags.
+
+Defaults are CI-sized so every config runs on the CPU backend in minutes;
+pass --full on TPU hardware for the real scales.  Emits one JSON line per
+config with pass/fail + metrics.
+
+  1 single genome sketch (k=31, s=10k) + self-compare: j=1, d=0, oracle-exact
+  2 pairwise ANI: N genomes, all pairs, bitwise oracle parity
+  3 all-vs-all via tiled intersection kernel: invariants + oracle spot checks
+  4 read containment screening vs the sketch DB
+  5 sharded-DB ring all-vs-all == single-device result (mesh over all devices)
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tests")
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true", help="BASELINE scales")
+    ap.add_argument("--workdir", default="/tmp/miekki_acceptance")
+    args = ap.parse_args()
+
+    import os
+
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from pathlib import Path
+
+    from fixtures import make_genome_family, reads_from_genome, write_fasta, write_fastq
+    from miekki_tpu import engine
+    from miekki_tpu.io import encode
+    from miekki_tpu.oracle import compare as oc, nthash, sketch as osk
+    from miekki_tpu.params import SketchParams
+    from miekki_tpu.parallel import dist_sharded, local_mesh
+    from miekki_tpu.utils import compile_cache
+
+    compile_cache.enable()
+    wd = Path(args.workdir)
+    wd.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(2026)
+
+    genome_len = 4_600_000 if args.full else 50_000
+    n_genomes = 10
+    s = 10_000 if args.full else 400
+    k = 31
+    params = SketchParams(k=k, s=s)
+    results = []
+
+    def emit(config, ok, **kw):
+        row = {"config": config, "pass": bool(ok), **kw}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    # ---- config 1: single genome, self-compare, oracle-exact ----
+    t0 = time.perf_counter()
+    g1 = make_genome_family(rng, 1, genome_len)[0]
+    p1 = write_fasta(wd / "ecoli_like.fa", [("g1", g1)])
+    sk_dev = engine.sketch_file(p1, params)
+    sk_oracle = osk.sketch_codes(encode.encode(g1), k, s)
+    idx1 = engine.build_index([p1, p1], params)
+    row = engine.dist(idx1)[0]
+    emit(1, np.array_equal(sk_dev, sk_oracle) and row["jaccard"] == 1.0
+         and row["mash_distance"] == 0.0,
+         seconds=round(time.perf_counter() - t0, 2), bases=genome_len)
+
+    # ---- config 2: N genomes, all pairs, bitwise oracle parity ----
+    t0 = time.perf_counter()
+    fam = make_genome_family(rng, n_genomes, genome_len // 5, sub_rate=0.03)
+    paths = [write_fasta(wd / f"fam{i}.fa", [(f"fam{i}", g)])
+             for i, g in enumerate(fam)]
+    idx = engine.build_index(paths, params)
+    rows = engine.dist(idx)
+    sketches = [osk.sketch_codes(encode.encode(g), k, s) for g in fam]
+    ok = len(rows) == n_genomes * (n_genomes - 1) // 2
+    for r in rows:
+        want = oc.compare_sketches(sketches[r["i"]], sketches[r["j"]], k, s)
+        ok &= (r["shared"] == want["shared"] and r["union"] == want["union"]
+               and r["mash_distance"] == want["distance"])
+    emit(2, ok, pairs=len(rows), seconds=round(time.perf_counter() - t0, 2))
+
+    # ---- config 3: bigger all-vs-all, invariants + spot checks ----
+    t0 = time.perf_counter()
+    n3 = 1000 if args.full else 64
+    fam3 = make_genome_family(rng, n3, 20_000 if args.full else 3_000,
+                              sub_rate=0.06)
+    paths3 = [write_fasta(wd / f"c3_{i}.fa", [(f"c3_{i}", g)])
+              for i, g in enumerate(fam3)]
+    idx3 = engine.build_index(paths3, SketchParams(k=k, s=min(s, 1024)))
+    rows3 = engine.dist(idx3)
+    by_ij = {(r["i"], r["j"]): r for r in rows3}
+    ok = len(rows3) == n3 * (n3 - 1) // 2
+    chosen = list(rng.choice(n3, size=6, replace=False))
+    sk3 = {i: osk.sketch_codes(encode.encode(fam3[i]), k, min(s, 1024))
+           for i in chosen}
+    for a in range(len(chosen)):
+        for b in range(a + 1, len(chosen)):
+            i, j = sorted((chosen[a], chosen[b]))
+            want = oc.compare_sketches(sk3[i], sk3[j], k, min(s, 1024))
+            ok &= by_ij[(i, j)]["shared"] == want["shared"]
+    emit(3, ok, genomes=n3, pairs=len(rows3),
+         seconds=round(time.perf_counter() - t0, 2))
+
+    # ---- config 4: read screening ----
+    t0 = time.perf_counter()
+    n_reads = 10_000_000 if args.full else 2_000
+    reads = reads_from_genome(rng, fam[0], n_reads, 100)
+    rp = write_fastq(wd / "reads.fq", [(f"r{i}", x) for i, x in enumerate(reads)])
+    scr = engine.screen(idx, rp)
+    ok = scr[0]["containment"] > 0.5 and all(
+        0.0 <= r["containment"] <= 1.0 for r in scr
+    )
+    if not args.full:  # exact oracle parity at CI scale
+        # 'N'-joined reads: any window spanning a boundary covers an
+        # invalid base, so the hash set equals the per-read union.
+        read_hashes = nthash.canonical_hashes(encode.encode(b"N".join(reads)), k)
+        want = oc.containment(sketches[0], read_hashes)
+        ok &= abs(scr[0]["containment"] - want) < 1e-12
+    emit(4, ok, reads=n_reads, seconds=round(time.perf_counter() - t0, 2))
+
+    # ---- config 5: sharded ring all-vs-all == single-device ----
+    t0 = time.perf_counter()
+    mesh = local_mesh()
+    counts = dist_sharded(idx, mesh)
+    ok = True
+    for r in rows:
+        ok &= int(counts["shared"][r["i"], r["j"]]) == r["shared"]
+        ok &= int(counts["union"][r["i"], r["j"]]) == r["union"]
+    emit(5, ok, mesh_devices=int(np.prod(list(mesh.shape.values()))),
+         seconds=round(time.perf_counter() - t0, 2))
+
+    print(json.dumps({"all_pass": all(r["pass"] for r in results)}))
+    return 0 if all(r["pass"] for r in results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -21,7 +21,7 @@ def t_host(f, *a, n=3):
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
-for merge in ("tree", "threshold", "sort"):
+for merge in ("fused", "tree", "threshold", "sort"):
     for hash_impl in ("xla", "pallas"):
         os.environ["MIEKKI_MERGE"] = merge
         os.environ["MIEKKI_HASH"] = hash_impl
