@@ -47,28 +47,43 @@ def bench_sketch(k: int = 31, s: int = 10_000, chunk: int = 1 << 13,
     """Gbases/s through sketch_chunked (the sketch-phase hot path).
 
     Uses the engine's production layout: narrow 8K-base rows (Pallas
-    VMEM-sized), grouped into ~512K-base scan steps."""
+    VMEM-sized), grouped into ~512K-base scan steps.  Input codes are
+    GENERATED ON DEVICE: on this machine's tunneled TPU, host arrays are
+    re-uploaded at ~0.4 GB/s per execution, which would swamp the kernel
+    being measured (production hosts feed chips over local PCIe)."""
+    import jax
     import jax.numpy as jnp
     from miekki_tpu.ops import sketch as _sketch
 
-    rng = np.random.default_rng(0)
-    rows = rng.integers(0, 4, size=(n_chunks, chunk + k - 1), dtype=np.uint8)
-    rows = jnp.asarray(rows)
+    @jax.jit
+    def gen(key):
+        return jax.random.randint(
+            key, (n_chunks, chunk + k - 1), 0, 4, dtype=jnp.int32
+        ).astype(jnp.uint8)
+
+    rows = gen(jax.random.PRNGKey(0))
+    _sync(rows)
     dt = _time(lambda r: _sketch.sketch_chunked(r, k, s), rows)
     bases = n_chunks * chunk
     return bases / dt / 1e9
 
 
 def bench_pairs(s: int = 10_000, tile: int = 128) -> float:
-    """Sketch-pair comparisons/s through the tiled intersection kernel."""
+    """Sketch-pair comparisons/s through the tiled intersection kernel.
+    Sketches are generated + sorted on device (see bench_sketch note)."""
+    import jax
     import jax.numpy as jnp
     from miekki_tpu.ops import intersect as _intersect
 
-    rng = np.random.default_rng(1)
-    table = np.sort(rng.integers(0, 2**63, size=(2 * tile, s), dtype=np.uint64),
-                    axis=-1)
-    hi = jnp.asarray((table >> np.uint64(32)).astype(np.uint32))
-    lo = jnp.asarray((table & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    @jax.jit
+    def gen(key):
+        k1, k2 = jax.random.split(key)
+        hi = jax.random.bits(k1, (2 * tile, s), jnp.uint32) >> 1
+        lo = jax.random.bits(k2, (2 * tile, s), jnp.uint32)
+        return jax.lax.sort((hi, lo), dimension=-1, num_keys=2)
+
+    hi, lo = gen(jax.random.PRNGKey(1))
+    _sync((hi, lo))
     rows = (hi[:tile], lo[:tile])
     cols = (hi[tile:], lo[tile:])
     dt = _time(lambda r0, r1, c0, c1: _intersect.tile_counts((r0, r1), (c0, c1), s),
