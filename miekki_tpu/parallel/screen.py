@@ -78,15 +78,53 @@ def _batch_groups(path, k: int, flat: int, group: int) -> Iterator[np.ndarray]:
         yield np.stack(buf)
 
 
+def _screen_step_local_dbshard(acc, db_hi, db_lo, thr_hi, thr_lo, batch, *,
+                               k: int, axis: str):
+    """Per-device body with a DB shard: [1, Ms+1] acc, [1, Ms] db planes,
+    [1, F + k - 1] batch shard.  Survivors whose value lives in another
+    shard simply find no match here; merging over the data axis only."""
+    upd = _screen_update_impl(acc[0], db_hi[0], db_lo[0], thr_hi[0],
+                              thr_lo[0], batch[0], k)
+    return (lax.pmax(upd.astype(jnp.int32), axis) > 0)[None]
+
+
+@partial(jax.jit, static_argnames=("k", "mesh", "data_axis", "db_axis"),
+         donate_argnums=(0,))
+def screen_step_db_sharded(acc, db_hi, db_lo, thr_hi, thr_lo, batches, *,
+                           k: int, mesh: Mesh, data_axis: str = DATA_AXIS,
+                           db_axis: str = "db"):
+    """One screening step with BOTH axes sharded: the flat DB split into
+    [D_db, Ms] shards (each value-sorted) and read batches [D_data, F+k-1]
+    data-parallel.  Device (a, b) screens batch a against DB shard b; hit
+    bitmaps merge with pmax over the data axis only (shards are disjoint).
+    acc: bool[D_db, Ms + 1] (per-shard sink slot)."""
+    rep = P(None)
+    return shard_map(
+        partial(_screen_step_local_dbshard, k=k, axis=data_axis),
+        mesh=mesh,
+        in_specs=(P(db_axis, None), P(db_axis, None), P(db_axis, None),
+                  rep, rep, P(data_axis, None)),
+        out_specs=P(db_axis, None),
+        check_vma=False,
+    )(acc, db_hi, db_lo, thr_hi, thr_lo, batches)
+
+
 def screen_sharded(
     index: SketchIndex,
     reads_path,
     mesh: Mesh,
     axis: str = DATA_AXIS,
     flat: int = DEFAULT_READ_FLAT,
+    db_axis: str | None = None,
 ) -> List[dict]:
     """Distributed analog of engine.screen — identical rows, reads streamed
-    data-parallel across the mesh (BASELINE.json config 4 at host scale)."""
+    data-parallel across the mesh (BASELINE.json config 4 at host scale).
+
+    With ``db_axis`` set (2-D mesh), the flat DB is additionally sharded
+    along that axis so each device holds only M/D_db values — the pod-scale
+    layout where the whole sketch DB exceeds one chip's HBM."""
+    if db_axis is not None:
+        return _screen_sharded_2d(index, reads_path, mesh, axis, db_axis, flat)
     k = index.params.k
     flat_vals, gid = _flatten_db(index)
     if len(flat_vals) == 0:
@@ -106,4 +144,40 @@ def screen_sharded(
     from ..engine import _hits_from_bitmap
 
     hits = _hits_from_bitmap(flat_vals, gid, np.asarray(acc), len(index))
+    return _screen_rows(index, hits)
+
+
+def _screen_sharded_2d(index, reads_path, mesh, data_axis, db_axis, flat):
+    import numpy as np
+
+    from ..engine import _hits_from_bitmap
+
+    k = index.params.k
+    flat_vals, gid = _flatten_db(index)
+    if len(flat_vals) == 0:
+        return _screen_rows(index, np.zeros(len(index), np.int64))
+    d_db = mesh.shape[db_axis]
+    d_data = mesh.shape[data_axis]
+    m = len(flat_vals)
+    ms = -(-m // d_db)
+    pad = d_db * ms - m
+    INF = np.uint64(0xFFFFFFFFFFFFFFFF)
+    padded = np.concatenate([flat_vals, np.full(pad, INF, np.uint64)])
+    db_hi = jnp.asarray(
+        (padded >> np.uint64(32)).astype(np.uint32).reshape(d_db, ms))
+    db_lo = jnp.asarray(
+        (padded & np.uint64(0xFFFFFFFF)).astype(np.uint32).reshape(d_db, ms))
+    thr = flat_vals[-1]
+    thr_hi = jnp.full(1, int(thr >> np.uint64(32)), jnp.uint32)
+    thr_lo = jnp.full(1, int(thr & np.uint64(0xFFFFFFFF)), jnp.uint32)
+    acc = jnp.zeros((d_db, ms + 1), dtype=jnp.bool_)
+    for group in _batch_groups(reads_path, k, flat, d_data):
+        acc = screen_step_db_sharded(
+            acc, db_hi, db_lo, thr_hi, thr_lo, jnp.asarray(group),
+            k=k, mesh=mesh, data_axis=data_axis, db_axis=db_axis,
+        )
+    # reassemble the global bitmap: drop per-shard sinks, trim padding
+    acc_np = np.asarray(acc)[:, :-1].reshape(-1)[:m]
+    hits = _hits_from_bitmap(flat_vals, gid,
+                             np.concatenate([acc_np, [False]]), len(index))
     return _screen_rows(index, hits)

@@ -108,3 +108,13 @@ def test_ring_counts_padding_rows():
     counts = dist_sharded(idx, mesh)  # pads 3 → 8 internally
     assert counts["shared"].shape == (3, 3)
     assert (np.diag(counts["union"]) == 16).all()
+
+
+def test_screen_db_sharded_2d(small_index, tmp_path):
+    """DB sharded over `db` + reads over `data` must equal engine.screen."""
+    rng = np.random.default_rng(41)
+    reads = random_reads_fastq(tmp_path / "r3.fq", rng, n_reads=120, length=100)
+    mesh = local_mesh(shape=(2, 4), axis_names=(DATA_AXIS, DB_AXIS))
+    got = screen_sharded(small_index, reads, mesh, flat=2048, db_axis=DB_AXIS)
+    want = engine.screen(small_index, reads, flat=2048)
+    assert got == want
