@@ -132,13 +132,38 @@ def cmd_screen(args) -> int:
 
 def cmd_info(args) -> int:
     index = SketchIndex.load(args.db)
+    card = index.cardinalities()
     print(json.dumps({
         "genomes": len(index),
         "params": index.params.to_dict(),
         "sketch_sizes": {"min": int(index.sizes().min()) if len(index) else 0,
                          "max": int(index.sizes().max()) if len(index) else 0},
+        "est_distinct_kmers": {
+            "min": int(card.min()) if len(index) else 0,
+            "max": int(card.max()) if len(index) else 0,
+        },
         "names": index.names[:10] + (["..."] if len(index) > 10 else []),
     }, indent=2))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    """Concatenate sketch indexes (the `mash paste` analog)."""
+    parts = [SketchIndex.load(p) for p in args.inputs]
+    import numpy as np
+
+    base = parts[0]
+    for p in parts[1:]:
+        base.params.validate_compatible(p.params)
+    merged = SketchIndex(
+        base.params,
+        [n for p in parts for n in p.names],
+        np.concatenate([p.hi for p in parts]),
+        np.concatenate([p.lo for p in parts]),
+    )
+    merged.save(args.output)
+    print(f"merged {len(parts)} indexes -> {len(merged)} genomes",
+          file=sys.stderr)
     return 0
 
 
@@ -184,6 +209,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("info", help="describe a sketch index")
     p.add_argument("db")
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("merge", help="concatenate sketch indexes "
+                       "(mash paste analog)")
+    p.add_argument("inputs", nargs="+", help="input indexes (.npz)")
+    p.add_argument("-o", "--output", required=True)
+    p.set_defaults(fn=cmd_merge)
     return ap
 
 

@@ -63,6 +63,25 @@ class SketchIndex:
         full = (self.hi == 0xFFFFFFFF) & (self.lo == 0xFFFFFFFF)
         return (~full).sum(axis=1).astype(np.int64)
 
+    def cardinalities(self) -> np.ndarray:
+        """KMV estimate of each genome's distinct canonical-k-mer count.
+
+        Bottom-s MinHash is a KMV sketch, but the CANONICAL hash is
+        min(forward, reverse) of two ~iid uniforms, so its CDF at quantile
+        q = v/2^64 is 2q - q² (not q).  With v_s the s-th smallest sketch
+        value: solve 2q - q² = s/(n+1) → n̂ = s/(2q - q²) - 1.  Genomes with
+        fewer than s distinct k-mers are exact (the sketch holds all)."""
+        sizes = self.sizes()
+        out = np.zeros(len(self), dtype=np.float64)
+        full = sizes >= self.params.s
+        for i in range(len(self)):
+            if not full[i]:
+                out[i] = float(sizes[i])
+            else:
+                q = float(self.sketch_u64(i)[-1]) / 2.0**64
+                out[i] = self.params.s / max(2.0 * q - q * q, 1e-300) - 1.0
+        return out
+
     # ---------- persistence ----------
 
     def _header(self) -> dict:

@@ -138,3 +138,32 @@ def test_cli_sharded_sketch_and_dist(tmp_path):
     main(["dist", db, "-o", str(a)])
     main(["dist", *shards, "-o", str(b)])
     assert a.read_text() == b.read_text()
+
+
+def test_cli_merge_and_cardinality(tmp_path, capsys):
+    import json
+    import numpy as np
+    from fixtures import random_genome_fasta
+    from miekki_tpu.cli import main
+    from miekki_tpu.index.store import SketchIndex
+
+    rng = np.random.default_rng(43)
+    p1 = str(random_genome_fasta(tmp_path / "a.fa", rng, length=5000))
+    p2 = str(random_genome_fasta(tmp_path / "b.fa", rng, length=4000))
+    d1, d2 = str(tmp_path / "1.npz"), str(tmp_path / "2.npz")
+    main(["sketch", p1, "-o", d1, "-k", "21", "-s", "300"])
+    main(["sketch", p2, "-o", d2, "-k", "21", "-s", "300"])
+    out = str(tmp_path / "m.npz")
+    main(["merge", d1, d2, "-o", out])
+    idx = SketchIndex.load(out)
+    assert len(idx) == 2
+
+    # KMV cardinality: ~5000/4000 distinct 21-mers within ~25% at s=300
+    card = idx.cardinalities()
+    assert abs(card[0] - 4980) / 4980 < 0.25
+    assert abs(card[1] - 3980) / 3980 < 0.25
+
+    main(["info", out])
+    info = json.loads(capsys.readouterr().out)
+    assert info["genomes"] == 2
+    assert info["est_distinct_kmers"]["max"] > 3000
