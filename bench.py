@@ -43,14 +43,16 @@ def _time(fn, *args, warmup: int = 2, iters: int = 7) -> float:
 
 
 def bench_sketch(k: int = 31, s: int = 10_000, chunk: int = 1 << 13,
-                 n_chunks: int = 2048) -> float:
+                 n_chunks: int = 16384) -> float:
     """Gbases/s through sketch_chunked (the sketch-phase hot path).
 
     Uses the engine's production layout: narrow 8K-base rows (Pallas
     VMEM-sized), grouped into ~512K-base scan steps.  Input codes are
-    GENERATED ON DEVICE: on this machine's tunneled TPU, host arrays are
-    re-uploaded at ~0.4 GB/s per execution, which would swamp the kernel
-    being measured (production hosts feed chips over local PCIe)."""
+    GENERATED ON DEVICE and the workload is large (134 Mbase/call): this
+    machine's tunneled TPU re-uploads host arrays at ~0.4 GB/s and charges
+    a ~40 ms fixed overhead per execution, both of which would otherwise
+    swamp the kernel being measured (production hosts feed chips over
+    local PCIe with ~µs dispatch)."""
     import jax
     import jax.numpy as jnp
     from miekki_tpu.ops import sketch as _sketch

@@ -59,12 +59,53 @@ def sketch_file(
     return _sketch.sketch_codes_device(packed, params.k, params.s, chunk=chunk)
 
 
+MAX_GENOME_BATCH = 16  # genomes vmapped per device call (power-of-2 buckets)
+
+
+@partial(jax.jit, static_argnames=("k", "s"))
+def _sketch_batch(rows3d: jax.Array, k: int, s: int) -> u64.Pair:
+    """vmap of sketch_chunked over a [G, n, W] stack of same-shape genomes."""
+    return jax.vmap(lambda r: _sketch.sketch_chunked(r, k, s))(rows3d)
+
+
 def build_index(
     paths: Sequence, params: SketchParams, names: Optional[Sequence[str]] = None,
-    chunk: int = DEFAULT_CHUNK,
+    chunk: int = DEFAULT_CHUNK, batch: int = MAX_GENOME_BATCH,
 ) -> SketchIndex:
-    """Sketch many genome files into an index (one genome per file)."""
-    sketches = [sketch_file(p, params, chunk) for p in paths]
+    """Sketch many genome files into an index (one genome per file).
+
+    Genomes whose bucketed chunk layout matches are sketched together in
+    vmapped batches (power-of-two group sizes, INVALID-padded) — one device
+    dispatch per batch instead of per genome.  batch=1 disables.
+    """
+    k, s = params.k, params.s
+    if batch <= 1:
+        sketches = [sketch_file(p, params, chunk) for p in paths]
+    else:
+        rows_per_genome: List[Optional[np.ndarray]] = []
+        for p in paths:
+            packed = _encode.pack_records(_reader.read_genome_codes(p), k)
+            rows_per_genome.append(
+                None if len(packed) < k
+                else _sketch.bucketed_chunk_codes(packed, k, chunk)
+            )
+        sketches = [np.zeros(0, dtype=np.uint64)] * len(paths)
+        by_shape: dict = {}
+        for i, rows in enumerate(rows_per_genome):
+            if rows is not None:
+                by_shape.setdefault(rows.shape, []).append(i)
+        for shape, idxs in by_shape.items():
+            for a in range(0, len(idxs), batch):
+                grp = idxs[a : a + batch]
+                g_pad = 1 << max(0, (len(grp) - 1).bit_length())
+                stack = np.full((g_pad,) + shape, _hash.INVALID_CODE, np.uint8)
+                for gi, i in enumerate(grp):
+                    stack[gi] = rows_per_genome[i]
+                hi, lo = _sketch_batch(jnp.asarray(stack), k, s)
+                hi, lo = np.asarray(hi), np.asarray(lo)
+                for gi, i in enumerate(grp):
+                    vals = u64.join(hi[gi], lo[gi])
+                    sketches[i] = vals[vals != np.uint64(0xFFFFFFFFFFFFFFFF)]
     if names is None:
         names = [str(p) for p in paths]
     return SketchIndex.from_sketches(sketches, list(names), params)

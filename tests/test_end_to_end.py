@@ -179,3 +179,22 @@ def test_screen_repeatable_with_donation(tmp_path):
     r2 = engine.screen(idx, rp, flat=2048)
     assert r1 == r2
     assert r2[2]["containment"] > 0.5
+
+
+def test_build_index_batched_matches_sequential(tmp_path):
+    """Batched (vmapped) sketching must equal per-genome sketching exactly,
+    across mixed genome lengths (different shape buckets) and a genome
+    shorter than k."""
+    rng = np.random.default_rng(99)
+    lengths = [3000, 3000, 7000, 12000, 10, 3000]
+    paths = []
+    for i, L in enumerate(lengths):
+        seq = random_seq(rng, L)
+        paths.append(write_fasta(tmp_path / f"g{i}.fa", [(f"g{i}", seq)]))
+    params = SketchParams(k=21, s=300)
+    a = engine.build_index(paths, params, batch=8)
+    b = engine.build_index(paths, params, batch=1)
+    assert a.names == b.names
+    assert np.array_equal(a.hi, b.hi)
+    assert np.array_equal(a.lo, b.lo)
+    assert a.sizes()[4] == 0  # genome shorter than k -> empty sketch
