@@ -42,6 +42,7 @@ TSV_COLUMNS = (
     "jaccard",
     "mash_distance",
     "ani",
+    "p_value",
 )
 
 
@@ -114,7 +115,8 @@ def build_index(
 # ---------------------------------------------------------------- distances
 
 
-def _row_from_counts(shared: int, union: int, k: int) -> dict:
+def _row_from_counts(shared: int, union: int, k: int,
+                     n1: float = 0.0, n2: float = 0.0) -> dict:
     j = shared / union if union > 0 else 0.0
     d = _oracle_compare.mash_distance(j, k)
     return {
@@ -123,6 +125,7 @@ def _row_from_counts(shared: int, union: int, k: int) -> dict:
         "jaccard": j,
         "mash_distance": d,
         "ani": _oracle_compare.ani_from_distance(d),
+        "p_value": _oracle_compare.chance_p_value(shared, union, n1, n2, k),
     }
 
 
@@ -161,6 +164,8 @@ def dist_iter(
     a_hi, a_lo, n_a = _pad_rows(index_a, tile)
     b_hi, b_lo, n_b = _pad_rows(idx_b, tile)
     nb_a, nb_b = a_hi.shape[0] // tile, b_hi.shape[0] // tile
+    cards_a = index_a.cardinalities()
+    cards_b = cards_a if self_compare else idx_b.cardinalities()
 
     for bi in range(nb_a):
         for bj in range(nb_b):
@@ -185,7 +190,8 @@ def dist_iter(
                     continue
                 if self_compare and gj <= gi:
                     continue
-                row = _row_from_counts(int(shared[ti, tj]), int(union[ti, tj]), k)
+                row = _row_from_counts(int(shared[ti, tj]), int(union[ti, tj]),
+                                       k, cards_a[gi], cards_b[gj])
                 row["query"] = index_a.names[gi]
                 row["reference"] = idx_b.names[gj]
                 row["i"], row["j"] = gi, gj
@@ -212,10 +218,13 @@ def rows_from_count_matrices(
     idx_b = index_a if self_compare else index_b
     k = index_a.params.k
     rows = []
+    cards_a = index_a.cardinalities()
+    cards_b = cards_a if self_compare else idx_b.cardinalities()
     for i in range(len(index_a)):
         j0 = i + 1 if self_compare else 0
         for j in range(j0, len(idx_b)):
-            row = _row_from_counts(int(shared[i, j]), int(union[i, j]), k)
+            row = _row_from_counts(int(shared[i, j]), int(union[i, j]), k,
+                                   cards_a[i], cards_b[j])
             row["query"] = index_a.names[i]
             row["reference"] = idx_b.names[j]
             row["i"], row["j"] = i, j

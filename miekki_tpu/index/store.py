@@ -64,23 +64,15 @@ class SketchIndex:
         return (~full).sum(axis=1).astype(np.int64)
 
     def cardinalities(self) -> np.ndarray:
-        """KMV estimate of each genome's distinct canonical-k-mer count.
+        """KMV estimate of each genome's distinct canonical-k-mer count
+        (delegates to oracle.compare.kmv_cardinality — see its docstring)."""
+        from ..oracle.compare import kmv_cardinality
 
-        Bottom-s MinHash is a KMV sketch, but the CANONICAL hash is
-        min(forward, reverse) of two ~iid uniforms, so its CDF at quantile
-        q = v/2^64 is 2q - q² (not q).  With v_s the s-th smallest sketch
-        value: solve 2q - q² = s/(n+1) → n̂ = s/(2q - q²) - 1.  Genomes with
-        fewer than s distinct k-mers are exact (the sketch holds all)."""
-        sizes = self.sizes()
-        out = np.zeros(len(self), dtype=np.float64)
-        full = sizes >= self.params.s
-        for i in range(len(self)):
-            if not full[i]:
-                out[i] = float(sizes[i])
-            else:
-                q = float(self.sketch_u64(i)[-1]) / 2.0**64
-                out[i] = self.params.s / max(2.0 * q - q * q, 1e-300) - 1.0
-        return out
+        return np.array(
+            [kmv_cardinality(self.sketch_u64(i), self.params.s)
+             for i in range(len(self))],
+            dtype=np.float64,
+        )
 
     # ---------- persistence ----------
 

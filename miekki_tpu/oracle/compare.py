@@ -76,6 +76,57 @@ def ani_from_containment(c: float, k: int) -> float:
     return min(max(1.0 + math.log(c) / k, 0.0), 1.0)
 
 
+def chance_p_value(shared: int, union: int, n1: float, n2: float, k: int) -> float:
+    """Mash-style p-value: probability of observing >= `shared` common
+    hashes among `union` bottom-s union slots by CHANCE between two
+    unrelated random genomes of (estimated) distinct-k-mer cardinalities
+    n1, n2 (Mash paper, Ondov et al. 2016, reports the analogous statistic;
+    exact reference formula unavailable — SURVEY.md §0 — so this is a
+    documented binomial formulation over the same null model).
+
+    Null model: k-mers are uniform over the 4^k canonical space, so the
+    expected chance-shared distinct k-mers are m = n1*n2/4^k and a random
+    element of the union is shared with probability q = m/(n1 + n2 - m).
+    X ~ Binomial(union, q); p = P(X >= shared), exact summation.
+    """
+    if shared <= 0:
+        return 1.0
+    space = 4.0 ** min(k, 200)
+    m = (n1 * n2) / space
+    denom = n1 + n2 - m
+    q = 0.0 if denom <= 0 else min(max(m / denom, 0.0), 1.0)
+    if q <= 0.0:
+        return 0.0 if shared > 0 else 1.0
+    if q >= 1.0:
+        return 1.0
+    # P(X >= shared) = 1 - CDF(shared - 1); stable log-space accumulation
+    log_q, log_1q = math.log(q), math.log1p(-q)
+    total = 0.0
+    log_c = 0.0  # log C(union, 0)
+    for i in range(0, shared):
+        log_p = log_c + i * log_q + (union - i) * log_1q
+        total += math.exp(log_p)
+        log_c += math.log(union - i) - math.log(i + 1)
+    return min(max(1.0 - total, 0.0), 1.0)
+
+
+def kmv_cardinality(sketch: np.ndarray, s: int) -> float:
+    """Distinct-canonical-k-mer estimate from a bottom-s sketch.
+
+    The canonical hash is min(forward, reverse) of two ~iid uniforms, so
+    its CDF at quantile q = v/2^64 is 2q - q²; with v_s the s-th smallest:
+    solve 2q - q² = s/(n+1) → n̂ = s/(2q - q²) - 1.  Exact (=len) when the
+    genome has fewer than s distinct k-mers.  This is THE cardinality
+    estimator — index.store.SketchIndex.cardinalities delegates here so
+    engine and oracle p-values agree bitwise."""
+    sk = np.asarray(sketch, dtype=np.uint64)
+    sk = sk[sk != nthash.UINT64_MAX]
+    if len(sk) < s:
+        return float(len(sk))
+    q = float(sk[-1]) / 2.0**64
+    return s / max(2.0 * q - q * q, 1e-300) - 1.0
+
+
 def compare_sketches(a: np.ndarray, b: np.ndarray, k: int, s: int) -> dict:
     """Full pairwise record (matches one TSV row of the `dist` command)."""
     shared, union_size, j = mash_jaccard(a, b, s)
@@ -86,6 +137,9 @@ def compare_sketches(a: np.ndarray, b: np.ndarray, k: int, s: int) -> dict:
         "jaccard": j,
         "distance": d,
         "ani": ani_from_distance(d),
+        "p_value": chance_p_value(
+            shared, union_size, kmv_cardinality(a, s), kmv_cardinality(b, s), k
+        ),
     }
 
 

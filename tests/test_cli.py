@@ -51,6 +51,7 @@ def test_sketch_dist_screen_info(setup, capsys):
                 "jaccard": r["jaccard"],
                 "mash_distance": r["distance"],
                 "ani": r["ani"],
+                "p_value": r["p_value"],
             }
             for r in want_rows
         ]

@@ -127,3 +127,32 @@ class TestCompare:
         for r in rows:
             assert 0.0 <= r["jaccard"] <= 1.0
             assert 0.0 <= r["distance"] <= 1.0
+
+
+class TestChancePValue:
+    def test_related_pairs_significant(self):
+        from miekki_tpu.oracle.compare import chance_p_value
+
+        # 300 shared of 1000 union slots between 5Mbase genomes at k=31:
+        # chance expectation is ~0 -> p-value ~ 0
+        p = chance_p_value(300, 1000, 5e6, 5e6, 31)
+        assert p < 1e-100
+
+    def test_zero_shared_is_one(self):
+        from miekki_tpu.oracle.compare import chance_p_value
+
+        assert chance_p_value(0, 1000, 5e6, 5e6, 31) == 1.0
+
+    def test_chance_level_not_significant(self):
+        from miekki_tpu.oracle.compare import chance_p_value
+
+        # tiny k -> dense k-mer space -> large chance overlap
+        # n1=n2=500 at k=5 (space 1024): m = 244, q ~ 0.32
+        p = chance_p_value(300, 1000, 500, 500, 5)
+        assert p > 0.9  # 300 < expected 322 -> not significant
+
+    def test_monotone_in_shared(self):
+        from miekki_tpu.oracle.compare import chance_p_value
+
+        ps = [chance_p_value(x, 1000, 1e6, 1e6, 12) for x in (20, 40, 80)]
+        assert ps[0] > ps[1] > ps[2]
