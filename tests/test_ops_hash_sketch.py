@@ -207,3 +207,37 @@ def test_merge_tree_repetitive_genome(monkeypatch):
     got = S.sketch_codes_device(genome.astype(np.uint8), k, s, chunk=4096)
     want = np.unique(O.canonical_hashes(genome, k))[:s]
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("k", [5, 15, 32, 33, 63])
+def test_hash_windows_k_sweep(k):
+    """k spanning the u64 rotate regimes (k-1 < 32, == 32, > 32, == 63):
+    device must match the oracle bitwise for every k, including invalids."""
+    import numpy as np
+    import jax.numpy as jnp
+    from miekki_tpu.oracle import nthash as O
+    from miekki_tpu.ops import hash as H
+    from miekki_tpu.ops import u64
+
+    rng = np.random.default_rng(k)
+    codes = rng.integers(0, 5, size=500, dtype=np.int64)
+    oh, ov = O.hash_kmers(codes, k)
+    want = np.where(ov, oh, np.uint64(0xFFFFFFFFFFFFFFFF))
+    (dh, dl), dv = H.hash_windows(jnp.asarray(codes, jnp.int32), k)
+    got = u64.join(np.asarray(dh), np.asarray(dl))
+    assert np.array_equal(got, want), k
+    assert np.array_equal(np.asarray(dv), ov), k
+
+
+@pytest.mark.parametrize("k", [15, 33, 63])
+def test_sketch_end_to_end_k_sweep(k, monkeypatch):
+    import numpy as np
+    from miekki_tpu.oracle import nthash as O
+    from miekki_tpu.ops import sketch as S
+
+    monkeypatch.setenv("MIEKKI_MERGE", "tree")
+    rng = np.random.default_rng(k * 7)
+    genome = rng.integers(0, 4, size=20_000, dtype=np.int64)
+    got = S.sketch_codes_device(genome.astype(np.uint8), k, 256, chunk=4096)
+    want = np.unique(O.canonical_hashes(genome, k))[:256]
+    assert np.array_equal(got, want), k

@@ -61,3 +61,15 @@ def test_intersect_kernel_matches_xla(ti, tj, s):
     want = I.tile_counts(rows, cols, s)
     for key in ("shared_in_x", "union_size", "inter_full"):
         assert np.array_equal(np.asarray(got[key]), np.asarray(want[key])), key
+
+
+@pytest.mark.parametrize("k", [15, 33, 63])
+def test_hash_kernel_k_sweep(k):
+    rng = np.random.default_rng(k)
+    codes = jnp.asarray(
+        rng.integers(0, 5, size=(8, 256 + k - 1), dtype=np.int64), jnp.int32
+    )
+    (h0, l0), _ = H.hash_windows(codes, k)
+    (h1, l1), _ = PH.hash_windows_pallas(codes, k, interpret=INTERPRET)
+    assert np.array_equal(np.asarray(h0), np.asarray(h1))
+    assert np.array_equal(np.asarray(l0), np.asarray(l1))
