@@ -34,21 +34,6 @@ from . import u64
 
 INVALID_CODE = 4
 
-# (hi, lo) uint32 planes of the 4 per-base seeds, forward and complement.
-_SEED_F_HI, _SEED_F_LO = u64.split(_oracle.SEEDS)
-_SEED_R_HI, _SEED_R_LO = u64.split(_oracle.SEEDS[::-1])  # SEEDS[3 - b]
-
-
-def _select_seed(codes: jax.Array, consts: np.ndarray) -> jax.Array:
-    """Per-position seed plane via a 3-deep select chain (codes in 0..3)."""
-    c0, c1, c2, c3 = (jnp.uint32(int(x)) for x in consts)
-    return jnp.where(
-        codes < 2,
-        jnp.where(codes == 0, c0, c1),
-        jnp.where(codes == 2, c2, c3),
-    )
-
-
 @lru_cache(maxsize=64)
 def _pos_seed_tables(length: int):
     """Lane-constant pre-rotated seed tables for a row of `length` positions.
