@@ -9,11 +9,13 @@ miekki_tpu.oracle.nthash; SURVEY.md §7 design item 1): with
   window is invalid (or in the 2^-64 case H == UINT64_MAX itself).
 
 TPU mapping (all VPU-friendly, no gathers, no global scans):
-  * per-base seeds via a 4-way `where` select chain (codes ∈ {0..3});
-  * the position rotation ror^{j mod 64} as a single variable-amount rotate
-    (TPU vector shifts take per-lane shift amounts);
+  * per-position pre-rotated seeds baked into lane-constant [4, L] tables
+    (_pos_seed_tables), picked by a 4-way `where` select chain — the input
+    rotations cost zero runtime ops;
   * the k-window XOR by log2(k) shift-XOR doubling levels — O(log k) passes
     instead of the O(log L) associative-scan prefix form;
+  * the two output rotations (lane-static amounts) as variable-amount
+    vector rotates (per-lane shift amounts are a TPU VPU feature);
   * window validity by the same doubling on an OR monoid.
 
 Everything is branch-free and static-shape; XLA fuses the whole pipeline
