@@ -326,30 +326,6 @@ def _flatten_db(index: SketchIndex):
     return flat[order], gid[order]
 
 
-def _hash_flat_as_rows(flat_codes, k: int, row_w: int = 1 << 13):
-    """Hash a 1-D packed [F + k - 1] code stream via a 2-D row layout.
-
-    1-D shapes hit pathological XLA/TPU layouts (observed: minutes-long
-    compiles and ~100x slower execution); overlapped [F/row_w, row_w+k-1]
-    rows are the same windows in the fast layout.  Returns the flat [F]
-    hash pair (bitwise identical to hashing the 1-D stream directly)."""
-    length = flat_codes.shape[0]
-    f = length - k + 1
-    if f <= 0:
-        raise ValueError(f"batch shorter than k: {length} < {k}")
-    if f % row_w:
-        h, _ = _hash.hash_windows(flat_codes, k)  # odd sizes: 1-D fallback
-        return h
-    r = f // row_w
-    main = flat_codes[:f].reshape(r, row_w)
-    tails = jnp.concatenate(
-        [main[1:, : k - 1], flat_codes[None, f:]], axis=0
-    )
-    rows = jnp.concatenate([main, tails], axis=1)
-    h, _ = _hash.hash_windows(rows, k)
-    return h[0].reshape(-1), h[1].reshape(-1)
-
-
 def _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes, k: int):
     """One screening step over a packed read batch (trace-level body; the
     jitted entry is _screen_update; miekki_tpu.parallel.screen reuses this
@@ -359,7 +335,7 @@ def _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes, k: int):
     is a scratch sink for non-matches).  Returns the updated bitmap.
     """
     m_db = db_hi.shape[0]
-    h = _hash_flat_as_rows(flat_codes, k)
+    h, _ = _hash.hash_windows(flat_codes, k)
     n = h[0].shape[0]
     keep = ~u64.less((thr_hi, thr_lo), h)  # h <= thr; INF never kept
     n_keep = jnp.sum(keep.astype(jnp.int32))

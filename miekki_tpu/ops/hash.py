@@ -9,13 +9,11 @@ miekki_tpu.oracle.nthash; SURVEY.md §7 design item 1): with
   window is invalid (or in the 2^-64 case H == UINT64_MAX itself).
 
 TPU mapping (all VPU-friendly, no gathers, no global scans):
-  * per-position pre-rotated seeds baked into lane-constant [4, L] tables
-    (_pos_seed_tables), picked by a 4-way `where` select chain — the input
-    rotations cost zero runtime ops;
+  * per-base seeds via a 4-way `where` select chain (codes ∈ {0..3});
+  * the position rotation ror^{j mod 64} as a single variable-amount rotate
+    (TPU vector shifts take per-lane shift amounts);
   * the k-window XOR by log2(k) shift-XOR doubling levels — O(log k) passes
     instead of the O(log L) associative-scan prefix form;
-  * the two output rotations (lane-static amounts) as variable-amount
-    vector rotates (per-lane shift amounts are a TPU VPU feature);
   * window validity by the same doubling on an OR monoid.
 
 Everything is branch-free and static-shape; XLA fuses the whole pipeline
@@ -25,7 +23,7 @@ in miekki_tpu.ops.pallas_hash.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -36,31 +34,18 @@ from . import u64
 
 INVALID_CODE = 4
 
-@lru_cache(maxsize=64)
-def _pos_seed_tables(length: int):
-    """Lane-constant pre-rotated seed tables for a row of `length` positions.
-
-    u[j] = ror^{j mod 64}(SEEDS[b]) and v[j] = rol^{j mod 64}(SEEDS[3-b])
-    depend on the base letter AND the (static) position, so the rotation can
-    be baked into eight [4, length] uint32 constant planes — replacing two
-    variable-amount 64-bit rotates per base (~24 VPU ops) with pure selects.
-    Returns numpy arrays (u_hi, u_lo, v_hi, v_lo), each [4, length]."""
-    j = np.arange(length, dtype=np.int64)[None, :]
-    bases = np.arange(4, dtype=np.int64)[:, None]
-    u = _oracle.ror64(_oracle.SEEDS[bases], j)        # [4, L] uint64
-    v = _oracle.rol64(_oracle.SEEDS[3 - bases], j)
-    u_hi, u_lo = u64.split(u)
-    v_hi, v_lo = u64.split(v)
-    return u_hi, u_lo, v_hi, v_lo
+# (hi, lo) uint32 planes of the 4 per-base seeds, forward and complement.
+_SEED_F_HI, _SEED_F_LO = u64.split(_oracle.SEEDS)
+_SEED_R_HI, _SEED_R_LO = u64.split(_oracle.SEEDS[::-1])  # SEEDS[3 - b]
 
 
-def _select_table(codes: jax.Array, tab: np.ndarray) -> jax.Array:
-    """Per-position value from a [4, L] lane-constant table by base code."""
-    t = jnp.asarray(tab)
+def _select_seed(codes: jax.Array, consts: np.ndarray) -> jax.Array:
+    """Per-position seed plane via a 3-deep select chain (codes in 0..3)."""
+    c0, c1, c2, c3 = (jnp.uint32(int(x)) for x in consts)
     return jnp.where(
         codes < 2,
-        jnp.where(codes == 0, t[0], t[1]),
-        jnp.where(codes == 2, t[2], t[3]),
+        jnp.where(codes == 0, c0, c1),
+        jnp.where(codes == 2, c2, c3),
     )
 
 
@@ -115,27 +100,21 @@ def _window_any(flags: jax.Array, k: int, n: int) -> jax.Array:
     return res > 0
 
 
-def hash_block_math(codes: jax.Array, k: int, tables=None):
+def hash_block_math(codes: jax.Array, k: int):
     """Core hash pipeline on an int32 code block [..., L] → INF-masked
     (hi, lo) uint32 [..., n].  Pure jnp — shared verbatim between the XLA
     path (hash_windows) and the Pallas kernel (ops.pallas_hash), so bitwise
-    parity between the two is by construction.
-
-    `tables` are the four [4, L] lane-constant seed planes from
-    _pos_seed_tables; XLA callers may omit them (embedded as constants),
-    Pallas kernels must pass them as inputs (kernels can't capture
-    large constants)."""
+    parity between the two is by construction."""
     L = codes.shape[-1]
     n = L - k + 1
     invalid = (codes < 0) | (codes >= 4)
     invalid_i = jnp.where(invalid, 1, 0)
     safe = jnp.where(invalid, 0, codes)
 
-    u_hi_t, u_lo_t, v_hi_t, v_lo_t = (
-        tables if tables is not None else _pos_seed_tables(L)
-    )
-    u = (_select_table(safe, u_hi_t), _select_table(safe, u_lo_t))
-    v = (_select_table(safe, v_hi_t), _select_table(safe, v_lo_t))
+    j = jax.lax.broadcasted_iota(jnp.int32, codes.shape, codes.ndim - 1)
+    jr = (j % 64).astype(jnp.uint32)
+    u = u64.ror((_select_seed(safe, _SEED_F_HI), _select_seed(safe, _SEED_F_LO)), jr)
+    v = u64.rol((_select_seed(safe, _SEED_R_HI), _select_seed(safe, _SEED_R_LO)), jr)
 
     wu = _window_xor(u[0], u[1], k, n)
     wv = _window_xor(v[0], v[1], k, n)

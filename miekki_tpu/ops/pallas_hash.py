@@ -29,11 +29,9 @@ from .hash import hash_block_math
 ROW_BLOCK = 8
 
 
-def _hash_kernel(codes_ref, uh_ref, ul_ref, vh_ref, vl_ref, hi_ref, lo_ref,
-                 *, k: int):
+def _hash_kernel(codes_ref, hi_ref, lo_ref, *, k: int):
     codes = codes_ref[...].astype(jnp.int32)
-    tables = (uh_ref[...], ul_ref[...], vh_ref[...], vl_ref[...])
-    hi, lo = hash_block_math(codes, k, tables=tables)
+    hi, lo = hash_block_math(codes, k)
     hi_ref[...] = hi
     lo_ref[...] = lo
 
@@ -57,16 +55,11 @@ def hash_windows_pallas(codes: jax.Array, k: int, interpret: bool = False):
     if r_pad != r:
         codes = jnp.pad(codes, ((0, r_pad - r), (0, 0)), constant_values=4)
 
-    from .hash import _pos_seed_tables
-
-    tabs = [jnp.asarray(t) for t in _pos_seed_tables(w)]
-    tab_spec = pl.BlockSpec((4, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
     hi, lo = pl.pallas_call(
         partial(_hash_kernel, k=k),
         grid=(r_pad // rb,),
         in_specs=[
-            pl.BlockSpec((rb, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            tab_spec, tab_spec, tab_spec, tab_spec,
+            pl.BlockSpec((rb, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ],
         out_specs=(
             pl.BlockSpec((rb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -77,6 +70,6 @@ def hash_windows_pallas(codes: jax.Array, k: int, interpret: bool = False):
             jax.ShapeDtypeStruct((r_pad, n), jnp.uint32),
         ),
         interpret=interpret,
-    )(codes.astype(jnp.int32), *tabs)
+    )(codes.astype(jnp.int32))
     hi, lo = hi[:r], lo[:r]
     return (hi, lo), ~u64.is_inf((hi, lo))

@@ -104,11 +104,10 @@ def _finite_counts(hi, lo, width: int):
     return jnp.sum(fin.reshape(*lead, g, width), axis=-1)
 
 
-def _sketch_kernel(codes_ref, thr_ref, uh_ref, ul_ref, vh_ref, vl_ref,
-                   cand_hi_ref, cand_lo_ref, cnt_ref, *, k: int):
+def _sketch_kernel(codes_ref, thr_ref, cand_hi_ref, cand_lo_ref, cnt_ref,
+                   *, k: int):
     codes = codes_ref[...].astype(jnp.int32)
-    tables = (uh_ref[...], ul_ref[...], vh_ref[...], vl_ref[...])
-    hi, lo = hash_block_math(codes, k, tables=tables)  # [8, n], INF-masked
+    hi, lo = hash_block_math(codes, k)          # [8, n], INF-masked invalid
     thr_h = thr_ref[0, 0]
     thr_l = thr_ref[0, 1]
     keep = (hi < thr_h) | ((hi == thr_h) & (lo < thr_l))
@@ -159,10 +158,6 @@ def hash_reduce_pallas(codes: jax.Array, k: int, thr: u64.Pair,
     if r_pad != r:
         codes = jnp.pad(codes, ((0, r_pad - r), (0, 0)), constant_values=4)
     out_w = n // 16
-    from .hash import _pos_seed_tables
-
-    tabs = [jnp.asarray(t) for t in _pos_seed_tables(w)]
-    tab_spec = pl.BlockSpec((4, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
     thr_arr = jnp.stack(
         [thr[0].astype(jnp.uint32), thr[1].astype(jnp.uint32)]
     ).reshape(1, 2)
@@ -173,7 +168,6 @@ def hash_reduce_pallas(codes: jax.Array, k: int, thr: u64.Pair,
         in_specs=[
             pl.BlockSpec((rb, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            tab_spec, tab_spec, tab_spec, tab_spec,
         ],
         out_specs=(
             pl.BlockSpec((rb, out_w), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -186,7 +180,7 @@ def hash_reduce_pallas(codes: jax.Array, k: int, thr: u64.Pair,
             jax.ShapeDtypeStruct((r_pad, 128), jnp.int32),
         ),
         interpret=interpret,
-    )(codes.astype(jnp.int32), thr_arr, *tabs)
+    )(codes.astype(jnp.int32), thr_arr)
 
     overflow = jnp.max(cnt) > GROUP_CAP
     return (cand_hi[:r], cand_lo[:r]), overflow
