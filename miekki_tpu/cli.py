@@ -168,7 +168,11 @@ def cmd_merge(args) -> int:
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from . import __version__
+
     ap = argparse.ArgumentParser(prog="miekki-tpu", description=__doc__)
+    ap.add_argument("--version", action="version",
+                    version=f"miekki-tpu {__version__}")
     sub = ap.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("sketch", help="sketch genomes into an index file")
@@ -196,7 +200,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("screen", help="containment of DB genomes in a read set")
     p.add_argument("db", help="sketch index (.npz)")
-    p.add_argument("reads", help="FASTA/FASTQ(.gz) read file")
+    p.add_argument("reads", nargs="+", help="FASTA/FASTQ(.gz) read file(s)")
     p.add_argument("-o", "--output", default="-")
     p.add_argument("--flat", type=int, default=engine.DEFAULT_READ_FLAT,
                    help="packed bases per screening batch")

@@ -481,11 +481,21 @@ def _screen_rows(index: SketchIndex, hits: np.ndarray) -> List[dict]:
     return out
 
 
+def _as_path_list(reads_path) -> List:
+    import os as _os
+
+    if isinstance(reads_path, (str, bytes, _os.PathLike)):
+        return [reads_path]
+    return list(reads_path)
+
+
 def screen(
     index: SketchIndex, reads_path, flat: int = DEFAULT_READ_FLAT
 ) -> List[dict]:
     """Containment of each DB genome's sketch in the read stream
-    (SURVEY.md §3.3): c_g = |S(g) ∩ H(reads)| / |S(g)|."""
+    (SURVEY.md §3.3): c_g = |S(g) ∩ H(reads)| / |S(g)|.
+
+    reads_path may be one file or a list of files (hits union across all)."""
     k = index.params.k
     flat_vals, gid = _flatten_db(index)
     if len(flat_vals) == 0:
@@ -497,9 +507,10 @@ def screen(
     thr_hi = jnp.uint32(int(thr >> np.uint64(32)))
     thr_lo = jnp.uint32(int(thr & np.uint64(0xFFFFFFFF)))
     acc = jnp.zeros(len(flat_vals) + 1, dtype=jnp.bool_)
-    for batch in _packed_read_batches(reads_path, k, flat):
-        acc = _screen_update(acc, db_hi, db_lo, thr_hi, thr_lo,
-                             jnp.asarray(batch), k)
+    for path in _as_path_list(reads_path):
+        for batch in _packed_read_batches(path, k, flat):
+            acc = _screen_update(acc, db_hi, db_lo, thr_hi, thr_lo,
+                                 jnp.asarray(batch), k)
     hits = _hits_from_bitmap(flat_vals, gid, np.asarray(acc), len(index))
     return _screen_rows(index, hits)
 

@@ -23,6 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..engine import (
     DEFAULT_READ_FLAT,
+    _as_path_list,
     _flatten_db,
     _packed_read_batches,
     _screen_rows,
@@ -64,13 +65,15 @@ def screen_step_sharded(acc, db_hi, db_lo, thr_hi, thr_lo, batches, *,
 
 def _batch_groups(path, k: int, flat: int, group: int) -> Iterator[np.ndarray]:
     """Group packed read batches into [group, flat + k - 1] arrays, padding
-    the tail group with all-invalid batches (they hash to zero valid windows)."""
+    the tail group with all-invalid batches (they hash to zero valid windows).
+    `path` may be one file or a list of files."""
     buf: List[np.ndarray] = []
-    for b in _packed_read_batches(path, k, flat):
-        buf.append(b)
-        if len(buf) == group:
-            yield np.stack(buf)
-            buf = []
+    for p in _as_path_list(path):
+        for b in _packed_read_batches(p, k, flat):
+            buf.append(b)
+            if len(buf) == group:
+                yield np.stack(buf)
+                buf = []
     if buf:
         pad = np.full_like(buf[0], _hash.INVALID_CODE)
         while len(buf) < group:

@@ -168,3 +168,38 @@ def test_cli_merge_and_cardinality(tmp_path, capsys):
     info = json.loads(capsys.readouterr().out)
     assert info["genomes"] == 2
     assert info["est_distinct_kmers"]["max"] > 3000
+
+
+def test_cli_screen_multiple_read_files_and_ref_dist(tmp_path):
+    import numpy as np
+    from fixtures import make_genome_family, reads_from_genome, write_fasta, write_fastq
+    from miekki_tpu.cli import main
+    from miekki_tpu import engine
+    from miekki_tpu.index.store import SketchIndex
+
+    rng = np.random.default_rng(53)
+    genomes = make_genome_family(rng, 4, 3000, sub_rate=0.04)
+    paths = [str(write_fasta(tmp_path / f"g{i}.fa", [(f"g{i}", g)]))
+             for i, g in enumerate(genomes)]
+    db_a = str(tmp_path / "a.npz")
+    db_b = str(tmp_path / "b.npz")
+    main(["sketch", paths[0], paths[1], "-o", db_a, "-k", "21", "-s", "200"])
+    main(["sketch", paths[2], paths[3], "-o", db_b, "-k", "21", "-s", "200"])
+
+    # dist --ref (rectangular)
+    out = tmp_path / "rect.tsv"
+    main(["dist", db_a, "--ref", db_b, "-o", str(out)])
+    lines = out.read_text().splitlines()
+    assert len(lines) == 1 + 2 * 2  # 2x2 pairs
+
+    # screen over two read files == screen over their union
+    r1 = reads_from_genome(rng, genomes[0], 60, 80)
+    r2 = reads_from_genome(rng, genomes[1], 60, 80)
+    p1 = str(write_fastq(tmp_path / "r1.fq", [(f"a{i}", s) for i, s in enumerate(r1)]))
+    p2 = str(write_fastq(tmp_path / "r2.fq", [(f"b{i}", s) for i, s in enumerate(r2)]))
+    both = str(write_fastq(tmp_path / "r12.fq",
+                           [(f"c{i}", s) for i, s in enumerate(r1 + r2)]))
+    o1, o2 = tmp_path / "s1.tsv", tmp_path / "s2.tsv"
+    main(["screen", db_a, p1, p2, "-o", str(o1)])
+    main(["screen", db_a, both, "-o", str(o2)])
+    assert o1.read_text() == o2.read_text()
