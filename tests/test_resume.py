@@ -85,3 +85,26 @@ def test_resume_noop_when_complete(idx, tmp_path):
     n = engine.dist_resumable(idx, out, mani, tile=4)  # all tiles recorded
     assert n == 0
     assert out.read_text() == before
+
+
+def test_cli_manifest_resume(tmp_path):
+    """dist --manifest via the CLI: full run then a no-op resume."""
+    import numpy as np
+    from fixtures import random_genome_fasta
+    from miekki_tpu.cli import main
+
+    rng = np.random.default_rng(61)
+    paths = [str(random_genome_fasta(tmp_path / f"g{i}.fa", rng, length=900))
+             for i in range(5)]
+    db = str(tmp_path / "db.npz")
+    main(["sketch", *paths, "-o", db, "-k", "21", "-s", "100"])
+    out, mani = str(tmp_path / "d.tsv"), str(tmp_path / "d.manifest")
+    main(["dist", db, "-o", out, "--manifest", mani, "--tile", "2"])
+    first = open(out).read()
+    assert len(first.splitlines()) == 1 + 10  # 5 choose 2
+    main(["dist", db, "-o", out, "--manifest", mani, "--tile", "2"])  # no-op
+    assert open(out).read() == first
+    # plain run row multiset identical
+    plain = str(tmp_path / "p.tsv")
+    main(["dist", db, "-o", plain])
+    assert sorted(open(plain).read().splitlines()[1:]) == sorted(first.splitlines()[1:])
