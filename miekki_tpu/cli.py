@@ -51,7 +51,11 @@ def _out(args):
 def cmd_sketch(args) -> int:
     params = SketchParams(k=args.k, s=args.s)
     t0 = time.perf_counter()
-    index = engine.build_index(args.genomes, params, chunk=args.chunk)
+    if args.per_record:
+        index = engine.build_index_per_record(args.genomes, params,
+                                              chunk=args.chunk)
+    else:
+        index = engine.build_index(args.genomes, params, chunk=args.chunk)
     dt = time.perf_counter() - t0
     if args.shards > 1:
         paths = index.save_sharded(args.output.removesuffix(".npz"), args.shards)
@@ -97,6 +101,18 @@ def cmd_dist(args) -> int:
                       pairs_per_s=n / dt if dt > 0 else 0.0)
         print(f"compared {n} new pairs in {dt:.2f}s (resumable via "
               f"{args.manifest})", file=sys.stderr)
+        return 0
+    if args.matrix:
+        if index_b is not None:
+            print("dist: --matrix is self-all-vs-all only", file=sys.stderr)
+            return 2
+        text = engine.dist_matrix_text(index_a, tile=args.tile)
+        dt = time.perf_counter() - t0
+        with _out(args) as f:
+            f.write(text)
+        _metrics.emit(args.metrics, phase="dist", seconds=dt, matrix=True)
+        print(f"wrote {len(index_a)}x{len(index_a)} matrix in {dt:.2f}s",
+              file=sys.stderr)
         return 0
     rows = engine.dist(index_a, index_b, tile=args.tile)
     dt = time.perf_counter() - t0
@@ -180,6 +196,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=True, help="output index (.npz)")
     p.add_argument("--shards", type=int, default=1,
                    help="split the index into N per-host shard files")
+    p.add_argument("--per-record", action="store_true",
+                   help="sketch each FASTA/FASTQ record separately "
+                   "(mash sketch -i analog)")
     _add_common(p)
     p.set_defaults(fn=cmd_sketch)
 
@@ -195,6 +214,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--distributed", action="store_true",
                    help="shard the DB across all visible devices and run the "
                    "ppermute-ring all-vs-all")
+    p.add_argument("--matrix", action="store_true",
+                   help="write a Phylip-style square distance matrix "
+                   "(mash dist -t analog)")
     _add_common(p)
     p.set_defaults(fn=cmd_dist)
 

@@ -71,6 +71,21 @@ def _sketch_batch(rows3d: jax.Array, k: int, s: int) -> u64.Pair:
     return jax.vmap(lambda r: _sketch.sketch_chunked(r, k, s))(rows3d)
 
 
+def build_index_per_record(
+    paths: Sequence, params: SketchParams, chunk: int = DEFAULT_CHUNK,
+    batch: int = MAX_GENOME_BATCH,
+) -> SketchIndex:
+    """Sketch every RECORD of the input files as its own entry (the
+    `mash sketch -i` mode — one sketch per contig/sequence)."""
+    names: List[str] = []
+    codes_list: List[np.ndarray] = []
+    for p in paths:
+        for rec_name, codes in _reader.read_encoded(p):
+            names.append(rec_name or f"{p}:{len(names)}")
+            codes_list.append(codes)
+    return _build_index_from_codes(codes_list, names, params, chunk, batch)
+
+
 def build_index(
     paths: Sequence, params: SketchParams, names: Optional[Sequence[str]] = None,
     chunk: int = DEFAULT_CHUNK, batch: int = MAX_GENOME_BATCH,
@@ -81,18 +96,34 @@ def build_index(
     vmapped batches (power-of-two group sizes, INVALID-padded) — one device
     dispatch per batch instead of per genome.  batch=1 disables.
     """
+    if names is None:
+        names = [str(p) for p in paths]
+    codes_list = [
+        _encode.pack_records(_reader.read_genome_codes(p), params.k)
+        for p in paths
+    ]
+    return _build_index_from_codes(codes_list, list(names), params, chunk, batch)
+
+
+def _build_index_from_codes(
+    codes_list: Sequence[np.ndarray], names: List[str], params: SketchParams,
+    chunk: int, batch: int,
+) -> SketchIndex:
     k, s = params.k, params.s
     if batch <= 1:
-        sketches = [sketch_file(p, params, chunk) for p in paths]
+        sketches = [
+            np.zeros(0, dtype=np.uint64) if len(c) < k
+            else _sketch.sketch_codes_device(c, k, s, chunk=chunk)
+            for c in codes_list
+        ]
     else:
         rows_per_genome: List[Optional[np.ndarray]] = []
-        for p in paths:
-            packed = _encode.pack_records(_reader.read_genome_codes(p), k)
+        for c in codes_list:
             rows_per_genome.append(
-                None if len(packed) < k
-                else _sketch.bucketed_chunk_codes(packed, k, chunk)
+                None if len(c) < k
+                else _sketch.bucketed_chunk_codes(c, k, chunk)
             )
-        sketches = [np.zeros(0, dtype=np.uint64)] * len(paths)
+        sketches = [np.zeros(0, dtype=np.uint64)] * len(codes_list)
         by_shape: dict = {}
         for i, rows in enumerate(rows_per_genome):
             if rows is not None:
@@ -109,9 +140,7 @@ def build_index(
                 for gi, i in enumerate(grp):
                     vals = u64.join(hi[gi], lo[gi])
                     sketches[i] = vals[vals != np.uint64(0xFFFFFFFFFFFFFFFF)]
-    if names is None:
-        names = [str(p) for p in paths]
-    return SketchIndex.from_sketches(sketches, list(names), params)
+    return SketchIndex.from_sketches(sketches, names, params)
 
 
 # ---------------------------------------------------------------- distances
@@ -518,6 +547,20 @@ def screen(
 
 
 # ---------------------------------------------------------------- output
+
+
+def dist_matrix_text(index: SketchIndex, tile: int = DEFAULT_TILE) -> str:
+    """Phylip-style square Mash-distance matrix (the `mash dist -t` /
+    `mash triangle` analog)."""
+    n = len(index)
+    mat = np.zeros((n, n), dtype=np.float64)
+    for r in dist_iter(index, tile=tile):
+        mat[r["i"], r["j"]] = mat[r["j"], r["i"]] = r["mash_distance"]
+    lines = [f"\t{n}"]
+    for i in range(n):
+        cells = "\t".join(f"{mat[i, j]:.10g}" for j in range(n))
+        lines.append(f"{index.names[i]}\t{cells}")
+    return "\n".join(lines) + "\n"
 
 
 def rows_to_tsv(rows: Sequence[dict], columns: Sequence[str] = TSV_COLUMNS) -> str:

@@ -105,7 +105,7 @@ def _finite_counts(hi, lo, width: int):
 
 
 def _sketch_kernel(codes_ref, thr_ref, cand_hi_ref, cand_lo_ref, cnt_ref,
-                   *, k: int):
+                   *, k: int, levels: int):
     codes = codes_ref[...].astype(jnp.int32)
     hi, lo = hash_block_math(codes, k)          # [8, n], INF-masked invalid
     thr_h = thr_ref[0, 0]
@@ -114,56 +114,50 @@ def _sketch_kernel(codes_ref, thr_ref, cand_hi_ref, cand_lo_ref, cnt_ref,
     hi = jnp.where(keep, hi, INF32)
     lo = jnp.where(keep, lo, INF32)
 
-    # level 1: [8, n] → [8, n/4]
-    c1 = _finite_counts(hi, lo, GROUP_W)        # [8, n/128]
-    hi, lo = _group_sort(hi, lo, GROUP_W)
-    hi = _take_groups(hi, GROUP_W, GROUP_CAP)
-    lo = _take_groups(lo, GROUP_W, GROUP_CAP)
-
-    # level 2: [8, n/4] → [8, n/16]
-    c2 = _finite_counts(hi, lo, GROUP_W)        # [8, n/512]
-    hi, lo = _group_sort(hi, lo, GROUP_W)
-    hi = _take_groups(hi, GROUP_W, GROUP_CAP)
-    lo = _take_groups(lo, GROUP_W, GROUP_CAP)
+    # each level: [8, m] → [8, m/4] (sort GROUP_W lanes, keep GROUP_CAP)
+    cmax = jnp.zeros((hi.shape[0], 1), jnp.int32)
+    for _ in range(levels):
+        c = _finite_counts(hi, lo, GROUP_W)
+        cmax = jnp.maximum(cmax, jnp.max(c, axis=-1, keepdims=True))
+        hi, lo = _group_sort(hi, lo, GROUP_W)
+        hi = _take_groups(hi, GROUP_W, GROUP_CAP)
+        lo = _take_groups(lo, GROUP_W, GROUP_CAP)
 
     cand_hi_ref[...] = hi
     cand_lo_ref[...] = lo
-    # overflow bookkeeping: max finite count over both levels, broadcast to
-    # the [8, 128]-tiled count block
-    m1 = jnp.max(c1, axis=-1, keepdims=True)
-    m2 = jnp.max(c2, axis=-1, keepdims=True)
-    cnt_ref[...] = jnp.broadcast_to(
-        jnp.maximum(m1, m2), cnt_ref.shape
-    ).astype(jnp.int32)
+    cnt_ref[...] = jnp.broadcast_to(cmax, cnt_ref.shape).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("k", "interpret"))
+@partial(jax.jit, static_argnames=("k", "interpret", "levels"))
 def hash_reduce_pallas(codes: jax.Array, k: int, thr: u64.Pair,
-                       interpret: bool = False):
-    """Fused hash + threshold + 16x candidate reduction.
+                       interpret: bool = False, levels: int = 2):
+    """Fused hash + threshold + 4^levels candidate reduction.
 
-    codes: [R, W] (uint8/int32), W - k + 1 divisible by 2048.
+    codes: [R, W] (uint8/int32), W - k + 1 divisible by 4^levels * 128.
     thr: scalar (hi, lo) pair — candidates must be strictly below it.
-    Returns ((hi, lo) uint32 [R, (W-k+1)//16] INF-padded candidate arrays,
-    overflow bool scalar).  When `overflow` is False the candidate arrays
-    contain EVERY hash < thr (possibly with duplicates), so the bottom-s
-    merge over them is exact.
+    Returns ((hi, lo) uint32 [R, (W-k+1)//4^levels] INF-padded candidate
+    arrays, overflow bool scalar).  When `overflow` is False the candidate
+    arrays contain EVERY hash < thr (possibly with duplicates), so the
+    bottom-s merge over them is exact.  MIEKKI_FUSED_LEVELS tunes the
+    module size vs reduction tradeoff (the 2-level module has crashed this
+    machine's remote Mosaic compile helper; 1 level is half the network).
     """
     r, w = codes.shape
     n = w - k + 1
-    if n % 2048:
-        raise ValueError(f"window count {n} must be divisible by 2048")
+    red = 4 ** levels
+    if n % (red * GROUP_W // 4):
+        raise ValueError(f"window count {n} incompatible with {levels} levels")
     rb = ROW_BLOCK
     r_pad = -(-r // rb) * rb
     if r_pad != r:
         codes = jnp.pad(codes, ((0, r_pad - r), (0, 0)), constant_values=4)
-    out_w = n // 16
+    out_w = n // red
     thr_arr = jnp.stack(
         [thr[0].astype(jnp.uint32), thr[1].astype(jnp.uint32)]
     ).reshape(1, 2)
 
     cand_hi, cand_lo, cnt = pl.pallas_call(
-        partial(_sketch_kernel, k=k),
+        partial(_sketch_kernel, k=k, levels=levels),
         grid=(r_pad // rb,),
         in_specs=[
             pl.BlockSpec((rb, w), lambda i: (i, 0), memory_space=pltpu.VMEM),

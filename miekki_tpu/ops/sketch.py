@@ -214,11 +214,12 @@ def sketch_chunked(chunks: jax.Array, k: int, s: int, group: int = 0) -> u64.Pai
         from . import pallas_sketch as _ps
 
         interp = jax.default_backend() != "tpu"
+        levels = int(os.environ.get("MIEKKI_FUSED_LEVELS", "2"))
 
         def body(carry, block):
             thr = (carry[0][s - 1], carry[1][s - 1])
             cand, overflow = _ps.hash_reduce_pallas(
-                block, k, thr, interpret=interp
+                block, k, thr, interpret=interp, levels=levels
             )
             flat = (cand[0].reshape(-1), cand[1].reshape(-1))
             while flat[0].size > 2 * CAND_BUDGET:

@@ -203,3 +203,46 @@ def test_cli_screen_multiple_read_files_and_ref_dist(tmp_path):
     main(["screen", db_a, p1, p2, "-o", str(o1)])
     main(["screen", db_a, both, "-o", str(o2)])
     assert o1.read_text() == o2.read_text()
+
+
+def test_cli_per_record_and_matrix(tmp_path):
+    import numpy as np
+    from fixtures import random_seq, write_fasta
+    from miekki_tpu.cli import main
+    from miekki_tpu.index.store import SketchIndex
+
+    rng = np.random.default_rng(71)
+    recs = [(f"contig{i}", random_seq(rng, 2500)) for i in range(4)]
+    p = str(write_fasta(tmp_path / "multi.fa", recs))
+    db = str(tmp_path / "per.npz")
+    main(["sketch", p, "-o", db, "-k", "21", "-s", "120", "--per-record"])
+    idx = SketchIndex.load(db)
+    assert len(idx) == 4
+    assert idx.names == [f"contig{i}" for i in range(4)]
+
+    out = tmp_path / "m.tsv"
+    main(["dist", db, "-o", str(out), "--matrix"])
+    lines = out.read_text().splitlines()
+    assert lines[0].strip() == "4"
+    assert len(lines) == 5
+    # diagonal zeros; symmetric text
+    row1 = lines[1].split("\t")
+    assert row1[0] == "contig0" and float(row1[1]) == 0.0
+
+
+def test_per_record_matches_separate_files(tmp_path):
+    import numpy as np
+    from fixtures import random_seq, write_fasta
+    from miekki_tpu import engine
+    from miekki_tpu.params import SketchParams
+
+    rng = np.random.default_rng(73)
+    seqs = [random_seq(rng, 1800) for _ in range(3)]
+    multi = write_fasta(tmp_path / "m.fa", [(f"c{i}", s) for i, s in enumerate(seqs)])
+    singles = [write_fasta(tmp_path / f"s{i}.fa", [(f"c{i}", s)])
+               for i, s in enumerate(seqs)]
+    params = SketchParams(k=21, s=100)
+    a = engine.build_index_per_record([multi], params)
+    b = engine.build_index(singles, params, names=[f"c{i}" for i in range(3)])
+    assert a.names == b.names
+    assert np.array_equal(a.hi, b.hi) and np.array_equal(a.lo, b.lo)
