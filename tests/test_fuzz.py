@@ -1,0 +1,37 @@
+"""Seeded fuzz: random (k, s, genome, N-rate) combinations through the whole
+device pipeline vs the numpy oracle — the broad-spectrum regression net."""
+
+import numpy as np
+import pytest
+
+from miekki_tpu.io import encode
+from miekki_tpu.oracle import compare as oc, nthash, sketch as osk
+from miekki_tpu.ops import sketch as dsk
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_sketch_and_compare(trial):
+    rng = np.random.default_rng(1000 + trial)
+    k = int(rng.integers(7, 64))
+    s = int(rng.integers(16, 700))
+    length = int(rng.integers(k + 5, 30_000))
+    n_prob = float(rng.choice([0.0, 0.0, 0.02, 0.2]))
+    codes = rng.integers(0, 4, size=length, dtype=np.int64)
+    if n_prob:
+        codes[rng.random(length) < n_prob] = 4
+
+    got = dsk.sketch_codes_device(codes.astype(np.uint8), k, s,
+                                  chunk=int(rng.choice([2048, 4096, 8192])))
+    want = np.unique(nthash.canonical_hashes(codes, k))[:s]
+    assert np.array_equal(got, want), (trial, k, s, length, n_prob)
+
+    # pair with a mutated copy through the estimator chain
+    codes2 = codes.copy()
+    flips = rng.random(length) < 0.05
+    codes2[flips] = (codes2[flips] + 1) % 4
+    sk2 = dsk.sketch_codes_device(codes2.astype(np.uint8), k, s, chunk=4096)
+    want2 = np.unique(nthash.canonical_hashes(codes2, k))[:s]
+    assert np.array_equal(sk2, want2)
+    rec = oc.compare_sketches(got, sk2, k, s)
+    assert 0.0 <= rec["jaccard"] <= 1.0
+    assert 0.0 <= rec["distance"] <= 1.0
