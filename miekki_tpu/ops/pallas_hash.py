@@ -26,7 +26,9 @@ from jax.experimental.pallas import tpu as pltpu
 from . import u64
 from .hash import hash_block_math
 
-ROW_BLOCK = 8
+import os
+
+ROW_BLOCK = int(os.environ.get("MIEKKI_HASH_RB", "8"))  # rows per grid cell
 
 
 def _hash_kernel(codes_ref, hi_ref, lo_ref, *, k: int):
