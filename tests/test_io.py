@@ -61,3 +61,19 @@ class TestEncoded:
         b = encode.encode_str("TTTT")
         packed = encode.pack_records([a, b], k=3)
         assert packed.tolist() == [0, 1, 2, 3, 4, 4, 3, 3, 3, 3]
+
+
+def test_sharded_index_more_shards_than_genomes(tmp_path):
+    import numpy as np
+    from miekki_tpu.index.store import SketchIndex
+    from miekki_tpu.params import SketchParams
+
+    params = SketchParams(k=21, s=8)
+    sketches = [np.sort(np.random.default_rng(i).integers(
+        0, 2**60, size=8, dtype=np.uint64)) for i in range(2)]
+    idx = SketchIndex.from_sketches(sketches, ["a", "b"], params)
+    paths = idx.save_sharded(str(tmp_path / "db"), 4)  # empty shards exist
+    back = SketchIndex.load_sharded(paths)
+    assert back.names == idx.names
+    assert np.array_equal(back.hi, idx.hi)
+    assert np.array_equal(back.lo, idx.lo)
