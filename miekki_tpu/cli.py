@@ -75,9 +75,28 @@ def cmd_dist(args) -> int:
     index_b = SketchIndex.load(args.ref) if args.ref else None
     t0 = time.perf_counter()
     if args.distributed:
+        import numpy as np
+
         from .parallel import dist_sharded, local_mesh
 
         counts = dist_sharded(index_a, local_mesh(), index_b=index_b)
+        if args.counts:
+            # pod-scale output: raw count matrices (a TSV with N² formatted
+            # rows is the wrong artifact at 10k+ genomes)
+            idx_b = index_b if index_b is not None else index_a
+            np.savez_compressed(
+                args.counts,
+                shared=counts["shared"], union=counts["union"],
+                k=index_a.params.k, s=index_a.params.s,
+                query_names=np.array(index_a.names),
+                reference_names=np.array(idx_b.names),
+            )
+            dt = time.perf_counter() - t0
+            _metrics.emit(args.metrics, phase="dist", seconds=dt,
+                          pairs=int(counts["shared"].size), distributed=True)
+            print(f"wrote count matrices {counts['shared'].shape} "
+                  f"in {dt:.2f}s -> {args.counts}", file=sys.stderr)
+            return 0
         rows = engine.rows_from_count_matrices(
             index_a, counts["shared"], counts["union"], index_b
         )
@@ -217,6 +236,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--matrix", action="store_true",
                    help="write a Phylip-style square distance matrix "
                    "(mash dist -t analog)")
+    p.add_argument("--counts", metavar="FILE", default=None,
+                   help="with --distributed: write raw shared/union count "
+                   "matrices to FILE (.npz) instead of a TSV")
     _add_common(p)
     p.set_defaults(fn=cmd_dist)
 

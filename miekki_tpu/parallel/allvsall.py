@@ -80,17 +80,21 @@ def ring_all_vs_all_counts(
     )(db_hi, db_lo)
     # shared/union: [D, N, Nl]; at step t, global rows d*nl:(d+1)*nl hold the
     # intersection vs the block originally owned by device (d - t) mod D.
-    # Un-rotate into [N, N]; D is a small static trace-time constant, so the
-    # unrolled scatter is free (XLA folds it into one layout assignment).
-    def unrotate_scatter(x):
-        x = x.reshape(D, D, nl, nl)
+    # Un-rotate into [N, N] with ONE advanced-index scatter (a python loop
+    # over (t, d) would emit D² scatter ops — trace bloat at pod scale).
+    t_ids = jnp.arange(D)[:, None]
+    d_ids = jnp.broadcast_to(jnp.arange(D)[None, :], (D, D))
+    origin = (d_ids - t_ids) % D
+
+    def unrotate(x):
+        x = x.reshape(D, D, nl, nl)  # [t, d, row_in_block, col_in_block]
         out = jnp.zeros((D, nl, D, nl), x.dtype)
-        for t in range(D):
-            for d in range(D):
-                out = out.at[d, :, (d - t) % D, :].set(x[t, d])
+        # advanced indices separated by a slice put the [D, D] index-broadcast
+        # dims first: vals[t, d] lands at out[d_ids[t,d], :, origin[t,d], :]
+        out = out.at[d_ids, :, origin, :].set(x)
         return out.reshape(n, n)
 
-    return unrotate_scatter(shared), unrotate_scatter(union)
+    return unrotate(shared), unrotate(union)
 
 
 def dist_sharded(

@@ -246,3 +246,27 @@ def test_per_record_matches_separate_files(tmp_path):
     b = engine.build_index(singles, params, names=[f"c{i}" for i in range(3)])
     assert a.names == b.names
     assert np.array_equal(a.hi, b.hi) and np.array_equal(a.lo, b.lo)
+
+
+def test_cli_distributed_counts_output(tmp_path):
+    import numpy as np
+    from fixtures import make_genome_family, write_fasta
+    from miekki_tpu.cli import main
+    from miekki_tpu import engine
+    from miekki_tpu.index.store import SketchIndex
+
+    rng = np.random.default_rng(83)
+    genomes = make_genome_family(rng, 4, 2500, sub_rate=0.04)
+    paths = [str(write_fasta(tmp_path / f"g{i}.fa", [(f"g{i}", g)]))
+             for i, g in enumerate(genomes)]
+    db = str(tmp_path / "db.npz")
+    main(["sketch", *paths, "-o", db, "-k", "21", "-s", "150"])
+    cf = str(tmp_path / "counts.npz")
+    main(["dist", db, "--distributed", "--counts", cf])
+    with np.load(cf) as z:
+        idx = SketchIndex.load(db)
+        rows = engine.dist(idx)
+        for r in rows:
+            assert int(z["shared"][r["i"], r["j"]]) == r["shared"]
+            assert int(z["union"][r["i"], r["j"]]) == r["union"]
+        assert list(z["query_names"]) == idx.names
