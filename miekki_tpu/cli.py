@@ -135,8 +135,10 @@ def cmd_dist(args) -> int:
         return 0
     rows = engine.dist(index_a, index_b, tile=args.tile)
     dt = time.perf_counter() - t0
+    cols = (engine.CONTAINMENT_COLUMNS if args.containment
+            else engine.TSV_COLUMNS)
     with _out(args) as f:
-        f.write(engine.rows_to_tsv(rows))
+        f.write(engine.rows_to_tsv(rows, columns=cols))
     _metrics.emit(args.metrics, phase="dist", pairs=len(rows), seconds=dt,
                   pairs_per_s=len(rows) / dt if dt > 0 else 0.0)
     print(f"compared {len(rows)} pairs in {dt:.2f}s", file=sys.stderr)
@@ -239,6 +241,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--counts", metavar="FILE", default=None,
                    help="with --distributed: write raw shared/union count "
                    "matrices to FILE (.npz) instead of a TSV")
+    p.add_argument("--containment", action="store_true",
+                   help="add containment_q/containment_r/ani_containment "
+                   "columns (BinDash-style sketch containment)")
     _add_common(p)
     p.set_defaults(fn=cmd_dist)
 

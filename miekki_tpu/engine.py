@@ -47,6 +47,14 @@ TSV_COLUMNS = (
     "p_value",
 )
 
+# extra columns enabled by `dist --containment` (BinDash-style estimators:
+# c_q = |S(q) ∩ S(r)| / |S(q)|, biased but standard for sketch-vs-sketch)
+CONTAINMENT_COLUMNS = TSV_COLUMNS + (
+    "containment_q",
+    "containment_r",
+    "ani_containment",
+)
+
 
 # ---------------------------------------------------------------- sketching
 
@@ -197,6 +205,8 @@ def dist_iter(
     nb_a, nb_b = a_hi.shape[0] // tile, b_hi.shape[0] // tile
     cards_a = index_a.cardinalities()
     cards_b = cards_a if self_compare else idx_b.cardinalities()
+    sizes_a = index_a.sizes()
+    sizes_b = sizes_a if self_compare else idx_b.sizes()
 
     for bi in range(nb_a):
         for bj in range(nb_b):
@@ -215,6 +225,7 @@ def dist_iter(
             counts = _intersect.tile_counts(rows, cols, s)
             shared = np.asarray(counts["shared_in_x"])
             union = np.asarray(counts["union_size"])
+            inter = np.asarray(counts["inter_full"])
             for ti, tj in itertools.product(range(tile), range(tile)):
                 gi, gj = bi * tile + ti, bj * tile + tj
                 if gi >= n_a or gj >= n_b:
@@ -223,6 +234,14 @@ def dist_iter(
                     continue
                 row = _row_from_counts(int(shared[ti, tj]), int(union[ti, tj]),
                                        k, cards_a[gi], cards_b[gj])
+                sz_q = int(sizes_a[gi])
+                sz_r = int(sizes_b[gj])
+                it = int(inter[ti, tj])
+                row["containment_q"] = it / sz_q if sz_q else 0.0
+                row["containment_r"] = it / sz_r if sz_r else 0.0
+                row["ani_containment"] = _oracle_compare.ani_from_containment(
+                    max(row["containment_q"], row["containment_r"]), k
+                )
                 row["query"] = index_a.names[gi]
                 row["reference"] = idx_b.names[gj]
                 row["i"], row["j"] = gi, gj

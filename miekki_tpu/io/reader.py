@@ -13,7 +13,7 @@ from __future__ import annotations
 import gzip
 import io
 import os
-from typing import Iterable, Iterator, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 

@@ -27,7 +27,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..index.store import SketchIndex
 from ..ops import intersect as _intersect
-from ..ops import u64
+
 from .mesh import DB_AXIS
 
 try:  # jax >= 0.6 exposes shard_map at top level

@@ -16,7 +16,7 @@ from miekki_tpu.oracle import compare as oracle_compare
 from miekki_tpu.oracle import nthash, sketch as oracle_sketch
 from miekki_tpu.params import SketchParams
 
-from fixtures import make_genome_family, random_seq, reads_from_genome, write_fasta, write_fastq
+from fixtures import make_genome_family, mutate, random_seq, reads_from_genome, write_fasta, write_fastq
 
 
 @pytest.fixture(scope="module")
@@ -198,3 +198,29 @@ def test_build_index_batched_matches_sequential(tmp_path):
     assert np.array_equal(a.hi, b.hi)
     assert np.array_equal(a.lo, b.lo)
     assert a.sizes()[4] == 0  # genome shorter than k -> empty sketch
+
+
+def test_dist_containment_columns(tmp_path):
+    """--containment columns: identical genomes give c=1; oracle parity for
+    the full-intersection count."""
+    rng = np.random.default_rng(87)
+    g = random_seq(rng, 4000)
+    g2 = mutate(rng, g, 0.03)
+    p1 = write_fasta(tmp_path / "a.fa", [("a", g)])
+    p2 = write_fasta(tmp_path / "b.fa", [("b", g2)])
+    p3 = write_fasta(tmp_path / "c.fa", [("c", g)])  # identical to a
+    idx = engine.build_index([p1, p2, p3], SketchParams(k=21, s=300))
+    rows = {(r["i"], r["j"]): r for r in engine.dist(idx)}
+    same = rows[(0, 2)]
+    assert same["containment_q"] == 1.0 and same["containment_r"] == 1.0
+    assert same["ani_containment"] == 1.0
+    rel = rows[(0, 1)]
+    assert 0.0 < rel["containment_q"] < 1.0
+    # oracle parity on |S(a) ∩ S(b)|
+    from miekki_tpu.io import encode as E
+    from miekki_tpu.oracle import compare as OC, sketch as OS
+
+    sa = OS.sketch_codes(E.encode(g), 21, 300)
+    sb = OS.sketch_codes(E.encode(g2), 21, 300)
+    want = OC.intersection_size(sa, sb)
+    assert rel["containment_q"] == want / len(sa)
