@@ -177,7 +177,9 @@ def _hash_rows(block: jax.Array, k: int) -> u64.Pair:
     if impl == "pallas":
         from . import pallas_hash as _ph
 
-        h, _ = _ph.hash_windows_pallas(block, k)
+        h, _ = _ph.hash_windows_pallas(
+            block, k, interpret=jax.default_backend() != "tpu"
+        )
     else:
         h, _ = _hash.hash_windows(block, k)
     return h

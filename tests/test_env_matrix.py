@@ -1,0 +1,40 @@
+"""Environment-matrix e2e: every merge strategy x hash impl combination must
+produce the identical sketch + distance table (the env toggles must never
+change results, only speed)."""
+
+import numpy as np
+import pytest
+
+from miekki_tpu import engine
+from miekki_tpu.params import SketchParams
+from miekki_tpu.ops import sketch as dsk
+
+from fixtures import make_genome_family, write_fasta
+
+
+@pytest.fixture(scope="module")
+def genomes_paths(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("envmat")
+    rng = np.random.default_rng(311)
+    genomes = make_genome_family(rng, 4, 6000, sub_rate=0.04)
+    return [write_fasta(tmp / f"g{i}.fa", [(f"g{i}", g)])
+            for i, g in enumerate(genomes)]
+
+
+@pytest.fixture(scope="module")
+def reference_tsv(genomes_paths):
+    idx = engine.build_index(genomes_paths, SketchParams(k=21, s=256))
+    return engine.rows_to_tsv(engine.dist(idx))
+
+
+@pytest.mark.parametrize("merge", ["sort", "threshold", "tree", "fused"])
+@pytest.mark.parametrize("hash_impl", ["xla", "pallas"])
+def test_env_matrix_bitwise_identical(monkeypatch, genomes_paths,
+                                      reference_tsv, merge, hash_impl):
+    monkeypatch.setenv("MIEKKI_MERGE", merge)
+    monkeypatch.setenv("MIEKKI_HASH", hash_impl)
+    dsk.sketch_chunked.clear_cache()
+    engine._sketch_batch.clear_cache()
+    idx = engine.build_index(genomes_paths, SketchParams(k=21, s=256))
+    got = engine.rows_to_tsv(engine.dist(idx))
+    assert got == reference_tsv, (merge, hash_impl)

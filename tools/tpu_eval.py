@@ -98,3 +98,33 @@ for impl in ("pallas", "bitonic"):
     except Exception as e:
         print(f"PERF intersect[{impl}] FAILED: {type(e).__name__} {str(e)[:160]}", flush=True)
 print("DONE", flush=True)
+
+# ---------- correctness: screen step vs oracle (on device) ----------
+def _check_screen():
+    import jax.numpy as jnp
+    from miekki_tpu import engine as E
+    rng2 = np.random.default_rng(5)
+    k2 = 31
+    codes_pre = rng2.integers(0, 4, size=65536 + k2 - 1, dtype=np.int64)
+    h_pre, v_pre = O.hash_kmers(codes_pre, k2)
+    planted = rng2.choice(np.unique(h_pre[v_pre]), size=2000, replace=False)
+    noise = rng2.integers(0, 1 << 62, size=3000, dtype=np.uint64)
+    db_vals = np.unique(np.concatenate([planted, noise]))
+    dbh = jnp.asarray((db_vals >> np.uint64(32)).astype(np.uint32))
+    dbl = jnp.asarray((db_vals & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    thr = db_vals[-1]
+    th = jnp.uint32(int(thr >> np.uint64(32))); tl = jnp.uint32(int(thr & np.uint64(0xFFFFFFFF)))
+    codes = codes_pre  # reads whose hashes contain the planted db values
+    h_all, v_all = h_pre, v_pre
+    hits_oracle = np.isin(db_vals, h_all[v_all])
+    acc = jnp.zeros(len(db_vals) + 1, dtype=jnp.bool_)
+    acc = jax.jit(lambda a, b: E._screen_update_impl(a, dbh, dbl, th, tl, b, k2))(
+        acc, jnp.asarray(codes, jnp.int32).astype(jnp.uint8))
+    got_first = np.asarray(acc)[:-1]
+    first_occ = np.searchsorted(db_vals, db_vals, side="left")
+    got = got_first[first_occ]
+    print("screen step == oracle membership:", np.array_equal(got, hits_oracle),
+          f"(matches: {int(hits_oracle.sum())})", flush=True)
+
+_check_screen()
+print("DONE2", flush=True)
