@@ -134,6 +134,10 @@ def cmd_dist(args) -> int:
               file=sys.stderr)
         return 0
     rows = engine.dist(index_a, index_b, tile=args.tile)
+    if args.max_dist is not None:
+        rows = [r for r in rows if r["mash_distance"] <= args.max_dist]
+    if args.max_p is not None:
+        rows = [r for r in rows if r["p_value"] <= args.max_p]
     dt = time.perf_counter() - t0
     cols = (engine.CONTAINMENT_COLUMNS if args.containment
             else engine.TSV_COLUMNS)
@@ -244,6 +248,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--containment", action="store_true",
                    help="add containment_q/containment_r/ani_containment "
                    "columns (BinDash-style sketch containment)")
+    p.add_argument("--max-dist", type=float, default=None, metavar="D",
+                   help="only output pairs with mash_distance <= D "
+                   "(mash dist -d analog)")
+    p.add_argument("--max-p", type=float, default=None, metavar="P",
+                   help="only output pairs with p_value <= P "
+                   "(mash dist -v analog)")
     _add_common(p)
     p.set_defaults(fn=cmd_dist)
 

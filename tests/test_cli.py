@@ -270,3 +270,27 @@ def test_cli_distributed_counts_output(tmp_path):
             assert int(z["shared"][r["i"], r["j"]]) == r["shared"]
             assert int(z["union"][r["i"], r["j"]]) == r["union"]
         assert list(z["query_names"]) == idx.names
+
+
+def test_cli_dist_filters(tmp_path):
+    import numpy as np
+    from fixtures import make_genome_family, random_genome_fasta, write_fasta
+    from miekki_tpu.cli import main
+
+    rng = np.random.default_rng(91)
+    fam = make_genome_family(rng, 3, 3000, sub_rate=0.02)  # related
+    paths = [str(write_fasta(tmp_path / f"f{i}.fa", [(f"f{i}", g)]))
+             for i, g in enumerate(fam)]
+    paths.append(str(random_genome_fasta(tmp_path / "unrel.fa", rng, length=3000)))
+    db = str(tmp_path / "db.npz")
+    main(["sketch", *paths, "-o", db, "-k", "21", "-s", "300"])
+    full, filt = tmp_path / "a.tsv", tmp_path / "b.tsv"
+    main(["dist", db, "-o", str(full)])
+    main(["dist", db, "-o", str(filt), "--max-dist", "0.1"])
+    n_full = len(full.read_text().splitlines()) - 1
+    n_filt = len(filt.read_text().splitlines()) - 1
+    assert n_full == 6
+    assert 0 < n_filt < n_full  # unrelated genome's pairs filtered out
+    pfilt = tmp_path / "c.tsv"
+    main(["dist", db, "-o", str(pfilt), "--max-p", "1e-10"])
+    assert 0 < len(pfilt.read_text().splitlines()) - 1 <= n_full
