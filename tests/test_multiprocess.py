@@ -1,0 +1,25 @@
+"""True multi-process distributed validation: two JAX processes over a gRPC
+coordinator run the cross-process ring all-vs-all (tools/
+multiprocess_ring_test.py) — the same bootstrap + collective path a real
+multi-host pod uses."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.mark.timeout(240)
+def test_two_process_ring_all_vs_all():
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "multiprocess_ring_test.py")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "MIEKKI_MPTEST_PORT": "9937"}
+    env.pop("XLA_FLAGS", None)  # the tool sets its own device count
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(tool)], env=env,
+        capture_output=True, text=True, timeout=220,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "ALL PROCESSES OK" in out.stdout
