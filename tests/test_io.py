@@ -77,3 +77,32 @@ def test_sharded_index_more_shards_than_genomes(tmp_path):
     assert back.names == idx.names
     assert np.array_equal(back.hi, idx.hi)
     assert np.array_equal(back.lo, idx.lo)
+
+
+def test_rna_and_protein_sequences_yield_empty_sketches(tmp_path):
+    """Non-DNA alphabets (RNA U, amino acids) are all-invalid by the 2-bit
+    contract: sketching must succeed and produce empty sketches, not crash."""
+    from miekki_tpu import engine
+    from miekki_tpu.params import SketchParams
+
+    p = tmp_path / "weird.fa"
+    p.write_bytes(b">rna\nAUGGCUUAA\n>protein\nMKVLITGGAGFIGSNLVRYLLN\n"
+                  b">dna\n" + b"ACGT" * 50 + b"\n")
+    idx = engine.build_index([p], SketchParams(k=21, s=64))
+    assert len(idx) == 1  # one file = one pooled genome
+    assert idx.sizes()[0] > 0  # the DNA record still contributes
+
+
+def test_profile_flag_smoke(tmp_path):
+    """--profile must produce a trace directory without breaking the run."""
+    import numpy as np
+    from fixtures import random_genome_fasta
+    from miekki_tpu.cli import main
+
+    rng = np.random.default_rng(3)
+    p = str(random_genome_fasta(tmp_path / "g.fa", rng, length=3000))
+    db = str(tmp_path / "db.npz")
+    prof = tmp_path / "trace"
+    assert main(["sketch", p, "-o", db, "-k", "21", "-s", "50",
+                 "--profile", str(prof)]) == 0
+    assert prof.exists() and any(prof.rglob("*"))
