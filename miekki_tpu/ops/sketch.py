@@ -1,25 +1,30 @@
 """Device-side bottom-s MinHash sketch construction (component C5, SURVEY.md §2).
 
 TPU-first design (SURVEY.md §7 item 3): instead of the reference's per-hash
-heap, the running sketch is merged with each chunk of candidate hashes by a
-branch-free sort → dedup → truncate.  Two refinements keep the merge off the
-critical path (the naive form sorts the whole chunk every step and dominates
-the sketch phase):
+heap, the running sketch is merged with each chunk of candidate hashes by
+branch-free array ops.  Four bitwise-equivalent strategies (MIEKKI_MERGE,
+equivalence property-tested against the numpy oracle):
 
-  * **Threshold pre-filter**: a hash can only enter the sketch if it is
-    strictly below the current s-th smallest value T (= sketch[s-1], +inf
-    while the sketch is unfilled).  Once the sketch is warm, the expected
-    survivor count per chunk of C hashes is C·s/seen — quickly ≪ C.
-  * **Budgeted compaction**: survivors are compacted into a fixed B-slot
-    buffer with a cumsum-based `jnp.nonzero(size=B)` (static shape, jit-safe)
-    and only (s + B) elements are sorted.  The rare overflow case (cold
-    sketch, first chunks) falls back to the full sort under a `lax.cond`
-    — bottom-s semantics stay EXACT, bit-identical to the numpy oracle.
+  * **tree** (default): threshold mask (h < current s-th min, +inf while the
+    sketch is unfilled) → levels of [C/128, 128] row-local sorts keeping the
+    32 smallest per row → small final sort-dedup-truncate.  No global
+    sort/top_k over the chunk.  Any row with >32 finite candidates sets an
+    overflow flag → exact full-sort fallback via `lax.while_loop` (genuine
+    control flow — `lax.cond` can be lowered to a both-branches select).
+  * **threshold**: same mask, survivors compacted via `lax.top_k` on
+    position keys into a fixed budget, one (s + budget) sort; while_loop
+    fallback on overflow.
+  * **sort**: plain full sort-dedup-truncate per chunk (simplest; the TPU
+    sort unit makes this serviceable).
+  * **fused**: single-pass Pallas kernel (ops.pallas_sketch) doing hash +
+    threshold + 16x reduction in VMEM; exact fallback on overflow.
+    (Interpret-verified; blocked on this machine's remote Mosaic compiler —
+    see docs/DESIGN.md.)
 
 Sketch state is a fixed-shape [(s,), (s,)] uint32 pair padded with the
 UINT64_MAX (+inf) sentinel, so the whole genome pipeline is a `lax.scan`
-over fixed-size chunks — the "long context via carried state" pattern of
-SURVEY.md §5.
+over fixed-size row groups — the "long context via carried state" pattern
+of SURVEY.md §5.
 """
 
 from __future__ import annotations
