@@ -106,3 +106,45 @@ def test_profile_flag_smoke(tmp_path):
     assert main(["sketch", p, "-o", db, "-k", "21", "-s", "50",
                  "--profile", str(prof)]) == 0
     assert prof.exists() and any(prof.rglob("*"))
+
+
+def test_index_format_version_check(tmp_path):
+    import json
+    import numpy as np
+    import pytest
+    from miekki_tpu.index.store import SketchIndex
+    from miekki_tpu.params import SketchParams
+
+    params = SketchParams(k=21, s=8)
+    idx = SketchIndex.from_sketches(
+        [np.sort(np.random.default_rng(0).integers(0, 2**60, size=8,
+                                                   dtype=np.uint64))],
+        ["g"], params)
+    p = tmp_path / "db.npz"
+    idx.save(p)
+    # corrupt the format version
+    with np.load(p) as z:
+        header = json.loads(bytes(z["header"]).decode())
+        hi, lo = z["hi"], z["lo"]
+    header["format_version"] = 999
+    np.savez(p, hi=hi, lo=lo,
+             header=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8))
+    with pytest.raises(ValueError, match="unsupported index format"):
+        SketchIndex.load(p)
+
+
+def test_incompatible_params_refused(tmp_path):
+    import numpy as np
+    import pytest
+    from miekki_tpu.params import SketchParams
+
+    a = SketchParams(k=21, s=100)
+    b = SketchParams(k=31, s=100)
+    with pytest.raises(ValueError, match="incompatible sketch params"):
+        a.validate_compatible(b)
+    with pytest.raises(ValueError):
+        SketchParams(k=0)
+    with pytest.raises(ValueError):
+        SketchParams(k=65)
+    with pytest.raises(ValueError):
+        SketchParams(s=0)
