@@ -14,11 +14,15 @@ lo = jnp.asarray(rng.integers(0, 2**32, size=N, dtype=np.uint32))
 mask = jnp.asarray(rng.random(N) < 0.01)
 
 def t(name, f, *a, n=5):
+    # HOST-FORCED sync: block_until_ready lies on this platform (see
+    # docs/DESIGN.md) — np.asarray per iteration is the only honest timer.
     try:
-        jax.block_until_ready(f(*a))
+        [np.asarray(x) for x in jax.tree.leaves(f(*a))]
         ts = []
         for _ in range(n):
-            t0 = time.perf_counter(); jax.block_until_ready(f(*a)); ts.append(time.perf_counter()-t0)
+            t0 = time.perf_counter()
+            [np.asarray(x) for x in jax.tree.leaves(f(*a))]
+            ts.append(time.perf_counter()-t0)
         print(f"{name}: {min(ts)*1e3:.3f} ms", flush=True)
     except Exception as e:
         print(f"{name} FAILED: {type(e).__name__} {str(e)[:120]}", flush=True)
