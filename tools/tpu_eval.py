@@ -13,7 +13,10 @@ from miekki_tpu.ops import pallas_intersect as PI
 rng = np.random.default_rng(0)
 k = 31
 
-def sync(x): jax.block_until_ready(x); return x
+def sync(x):
+    # host-forced completion; block_until_ready is untrustworthy here
+    [np.asarray(v) for v in jax.tree.leaves(x)]
+    return x
 
 def timeit(f, *a, n=4):
     sync(f(*a))
