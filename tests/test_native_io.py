@@ -135,3 +135,31 @@ def test_screen_same_with_fast_and_slow_packers(tmp_path, monkeypatch):
     monkeypatch.setattr(N2, "_lib", None)
     slow = engine.screen(idx, rp, flat=2048)
     assert fast == slow
+
+
+def test_screen_long_records_fast_slow_parity(tmp_path, monkeypatch):
+    """Records LONGER than the batch size take the record-splitting path in
+    the slow packer and the plain-stream path in the fast packer — hash
+    sets (and therefore screen rows) must still agree."""
+    from miekki_tpu import engine
+    from miekki_tpu.params import SketchParams
+    from fixtures import random_seq, write_fasta, write_fastq
+
+    rng = np.random.default_rng(19)
+    genome = random_seq(rng, 6000)
+    gp = write_fasta(tmp_path / "g.fa", [("g", genome)])
+    idx = engine.build_index([gp], SketchParams(k=21, s=400))
+    # read set: one 10kb "read" (> flat) + short reads, FASTQ
+    reads = [genome[:2000] + genome[:2000] + random_seq(rng, 6000)] + [
+        genome[i * 50 : i * 50 + 90] for i in range(20)
+    ]
+    rp = write_fastq(tmp_path / "r.fq",
+                     [(f"r{i}", s) for i, s in enumerate(reads)])
+    fast = engine.screen(idx, rp, flat=2048)
+    monkeypatch.setenv("MIEKKI_NATIVE_IO", "0")
+    import miekki_tpu.io.native as N2
+    monkeypatch.setattr(N2, "_lib_checked", False)
+    monkeypatch.setattr(N2, "_lib", None)
+    slow = engine.screen(idx, rp, flat=2048)
+    assert fast == slow
+    assert fast[0]["containment"] > 0.3
