@@ -9,7 +9,7 @@ from miekki_tpu.oracle import compare as oc, nthash, sketch as osk
 from miekki_tpu.ops import sketch as dsk
 
 
-@pytest.mark.parametrize("trial", range(8))
+@pytest.mark.parametrize("trial", range(14))
 def test_fuzz_sketch_and_compare(trial):
     rng = np.random.default_rng(1000 + trial)
     k = int(rng.integers(7, 64))
