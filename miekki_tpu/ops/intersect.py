@@ -168,8 +168,11 @@ def _intersect_impl() -> str:
 
 
 def _pad_pow2(p: u64.Pair) -> u64.Pair:
+    """INF-pad the sketch width to a power of two, minimum 128: the bitonic
+    network needs pow2 strides, and Pallas column DMAs need the lane
+    dimension 128-aligned (Mosaic rejects 64-lane slices)."""
     sp = p[0].shape[-1]
-    tgt = 1 << max(0, (sp - 1).bit_length())
+    tgt = max(128, 1 << max(0, (sp - 1).bit_length()))
     if tgt == sp:
         return p
     pad = [(0, 0)] * (p[0].ndim - 1) + [(0, tgt - sp)]
