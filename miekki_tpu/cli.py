@@ -141,6 +141,9 @@ def cmd_dist(args) -> int:
     dt = time.perf_counter() - t0
     cols = (engine.CONTAINMENT_COLUMNS if args.containment
             else engine.TSV_COLUMNS)
+    if args.bounds:
+        rows = engine.add_bound_columns(rows, index_a.params.k)
+        cols = tuple(cols) + engine.BOUNDS_COLUMNS[len(engine.TSV_COLUMNS):]
     with _out(args) as f:
         f.write(engine.rows_to_tsv(rows, columns=cols))
     _metrics.emit(args.metrics, phase="dist", pairs=len(rows), seconds=dt,
@@ -254,6 +257,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-p", type=float, default=None, metavar="P",
                    help="only output pairs with p_value <= P "
                    "(mash dist -v analog)")
+    p.add_argument("--bounds", action="store_true",
+                   help="add 95%% Wilson interval columns for jaccard and "
+                   "distance (mash bounds analog)")
     _add_common(p)
     p.set_defaults(fn=cmd_dist)
 

@@ -55,6 +55,26 @@ CONTAINMENT_COLUMNS = TSV_COLUMNS + (
     "ani_containment",
 )
 
+# extra columns enabled by `dist --bounds` (mash bounds analog: Wilson
+# interval on the Jaccard, transformed to distance bounds)
+BOUNDS_COLUMNS = TSV_COLUMNS + (
+    "jaccard_lo",
+    "jaccard_hi",
+    "dist_lo",
+    "dist_hi",
+)
+
+
+def add_bound_columns(rows: List[dict], k: int, conf: float = 0.95) -> List[dict]:
+    for r in rows:
+        r["jaccard_lo"], r["jaccard_hi"] = _oracle_compare.jaccard_ci(
+            r["shared"], r["union"], conf
+        )
+        r["dist_lo"], r["dist_hi"] = _oracle_compare.distance_ci(
+            r["shared"], r["union"], k, conf
+        )
+    return rows
+
 
 # ---------------------------------------------------------------- sketching
 

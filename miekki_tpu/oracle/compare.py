@@ -110,6 +110,56 @@ def chance_p_value(shared: int, union: int, n1: float, n2: float, k: int) -> flo
     return min(max(1.0 - total, 0.0), 1.0)
 
 
+def jaccard_ci(shared: int, union: int, conf: float = 0.95):
+    """Wilson score interval for the Jaccard estimate (the `mash bounds`
+    analog): treats shared ~ Binomial(union, j).  Returns (lo, hi)."""
+    if union <= 0:
+        return 0.0, 1.0
+    # z for the two-sided confidence level via the probit of (1+conf)/2
+    # (Acklam rational approximation — scipy-free, |eps| < 1.2e-9)
+    z = _probit(0.5 + conf / 2.0)
+    n = float(union)
+    p = shared / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = (z / denom) * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    return max(0.0, center - half), min(1.0, center + half)
+
+
+def distance_ci(shared: int, union: int, k: int, conf: float = 0.95):
+    """Mash-distance interval from the Jaccard interval (d is decreasing in
+    j, so the bounds swap)."""
+    j_lo, j_hi = jaccard_ci(shared, union, conf)
+    return mash_distance(j_hi, k), mash_distance(j_lo, k)
+
+
+def _probit(p: float) -> float:
+    """Inverse standard-normal CDF (Acklam 2003 rational approximation)."""
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    a = (-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00)
+    p_low, p_high = 0.02425, 1 - 0.02425
+    if p < p_low:
+        q = math.sqrt(-2 * math.log(p))
+        return (((((c[0]*q+c[1])*q+c[2])*q+c[3])*q+c[4])*q+c[5]) / \
+               ((((d[0]*q+d[1])*q+d[2])*q+d[3])*q+1)
+    if p > p_high:
+        q = math.sqrt(-2 * math.log(1 - p))
+        return -(((((c[0]*q+c[1])*q+c[2])*q+c[3])*q+c[4])*q+c[5]) / \
+               ((((d[0]*q+d[1])*q+d[2])*q+d[3])*q+1)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0]*r+a[1])*r+a[2])*r+a[3])*r+a[4])*r+a[5])*q / \
+           (((((b[0]*r+b[1])*r+b[2])*r+b[3])*r+b[4])*r+1)
+
+
 def kmv_cardinality(sketch: np.ndarray, s: int) -> float:
     """Distinct-canonical-k-mer estimate from a bottom-s sketch.
 

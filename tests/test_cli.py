@@ -294,3 +294,25 @@ def test_cli_dist_filters(tmp_path):
     pfilt = tmp_path / "c.tsv"
     main(["dist", db, "-o", str(pfilt), "--max-p", "1e-10"])
     assert 0 < len(pfilt.read_text().splitlines()) - 1 <= n_full
+
+
+def test_cli_dist_bounds(tmp_path):
+    import numpy as np
+    from fixtures import make_genome_family, write_fasta
+    from miekki_tpu.cli import main
+
+    rng = np.random.default_rng(97)
+    fam = make_genome_family(rng, 3, 2500, sub_rate=0.03)
+    paths = [str(write_fasta(tmp_path / f"f{i}.fa", [(f"f{i}", g)]))
+             for i, g in enumerate(fam)]
+    db = str(tmp_path / "db.npz")
+    main(["sketch", *paths, "-o", db, "-k", "21", "-s", "300"])
+    out = tmp_path / "b.tsv"
+    main(["dist", db, "-o", str(out), "--bounds"])
+    header = out.read_text().splitlines()[0]
+    assert header.endswith("jaccard_lo\tjaccard_hi\tdist_lo\tdist_hi")
+    row = out.read_text().splitlines()[1].split("\t")
+    cols = header.lstrip("#").split("\t")
+    rec = dict(zip(cols, row))
+    assert float(rec["jaccard_lo"]) <= float(rec["jaccard"]) <= float(rec["jaccard_hi"])
+    assert float(rec["dist_lo"]) <= float(rec["mash_distance"]) <= float(rec["dist_hi"])

@@ -156,3 +156,39 @@ class TestChancePValue:
 
         ps = [chance_p_value(x, 1000, 1e6, 1e6, 12) for x in (20, 40, 80)]
         assert ps[0] > ps[1] > ps[2]
+
+
+class TestBounds:
+    def test_probit_values(self):
+        from miekki_tpu.oracle.compare import _probit
+
+        # known quantiles of the standard normal
+        assert abs(_probit(0.975) - 1.959963985) < 1e-6
+        assert abs(_probit(0.5) - 0.0) < 1e-9
+        assert abs(_probit(0.025) + 1.959963985) < 1e-6
+
+    def test_jaccard_ci_contains_estimate(self):
+        from miekki_tpu.oracle.compare import jaccard_ci
+
+        lo, hi = jaccard_ci(300, 1000)
+        assert lo < 0.3 < hi
+        assert 0.0 <= lo and hi <= 1.0
+        # tighter with more trials
+        lo2, hi2 = jaccard_ci(3000, 10000)
+        assert hi2 - lo2 < hi - lo
+
+    def test_distance_ci_orientation(self):
+        from miekki_tpu.oracle.compare import distance_ci, mash_distance
+
+        d_lo, d_hi = distance_ci(300, 1000, 21)
+        d = mash_distance(0.3, 21)
+        assert d_lo <= d <= d_hi
+
+    def test_degenerate_cases(self):
+        from miekki_tpu.oracle.compare import jaccard_ci
+
+        assert jaccard_ci(0, 0) == (0.0, 1.0)
+        lo, hi = jaccard_ci(0, 1000)
+        assert lo == 0.0 and hi < 0.01
+        lo, hi = jaccard_ci(1000, 1000)
+        assert hi > 0.999 and lo > 0.99
