@@ -176,6 +176,17 @@ def cmd_screen(args) -> int:
 
 def cmd_info(args) -> int:
     index = SketchIndex.load(args.db)
+    if args.dump:
+        # mash info -d analog: full sketch contents as JSON
+        print(json.dumps({
+            "params": index.params.to_dict(),
+            "sketches": [
+                {"name": index.names[i],
+                 "hashes": [int(h) for h in index.sketch_u64(i)]}
+                for i in range(len(index))
+            ],
+        }))
+        return 0
     card = index.cardinalities()
     print(json.dumps({
         "genomes": len(index),
@@ -277,6 +288,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("info", help="describe a sketch index")
     p.add_argument("db")
+    p.add_argument("-d", "--dump", action="store_true",
+                   help="dump full sketch hashes as JSON (mash info -d)")
     p.set_defaults(fn=cmd_info)
 
     p = sub.add_parser("merge", help="concatenate sketch indexes "

@@ -316,3 +316,30 @@ def test_cli_dist_bounds(tmp_path):
     rec = dict(zip(cols, row))
     assert float(rec["jaccard_lo"]) <= float(rec["jaccard"]) <= float(rec["jaccard_hi"])
     assert float(rec["dist_lo"]) <= float(rec["mash_distance"]) <= float(rec["dist_hi"])
+
+
+def test_cli_info_dump_roundtrip(tmp_path, capsys):
+    import json
+    import numpy as np
+    from fixtures import random_genome_fasta
+    from miekki_tpu.cli import main
+    from miekki_tpu.io import encode
+    from miekki_tpu.oracle import sketch as OS
+
+    rng = np.random.default_rng(101)
+    p = tmp_path / "g.fa"
+    random_genome_fasta(p, rng, length=3000)
+    db = str(tmp_path / "db.npz")
+    main(["sketch", str(p), "-o", db, "-k", "21", "-s", "100"])
+    capsys.readouterr()
+    main(["info", db, "--dump"])
+    d = json.loads(capsys.readouterr().out)
+    assert d["params"]["k"] == 21
+    hashes = d["sketches"][0]["hashes"]
+    assert hashes == sorted(hashes) and len(hashes) == 100
+    # dump values are the oracle bottom-s exactly
+    from miekki_tpu.io.reader import read_genome_codes
+    from miekki_tpu.io.encode import pack_records
+    codes = pack_records(read_genome_codes(p), 21)
+    want = OS.sketch_codes(codes, 21, 100)
+    assert hashes == [int(x) for x in want]
