@@ -118,3 +118,25 @@ def test_screen_db_sharded_2d(small_index, tmp_path):
     got = screen_sharded(small_index, reads, mesh, flat=2048, db_axis=DB_AXIS)
     want = engine.screen(small_index, reads, flat=2048)
     assert got == want
+
+
+@pytest.mark.parametrize("n_genomes,mesh_shape", [
+    (5, (8,)), (17, (8,)), (23, (2, 4)), (9, (4, 2)),
+])
+def test_ring_random_sizes_and_meshes(n_genomes, mesh_shape, tmp_path):
+    """Ring parity across awkward genome counts and mesh factorizations."""
+    rng = np.random.default_rng(n_genomes * 31)
+    params = SketchParams(k=21, s=64)
+    table = np.sort(rng.integers(0, 2**62, size=(n_genomes, 64),
+                                 dtype=np.uint64), axis=-1)
+    idx = SketchIndex.from_sketches(list(table),
+                                    [f"g{i}" for i in range(n_genomes)], params)
+    if len(mesh_shape) == 1:
+        mesh = local_mesh(axis_names=(DB_AXIS,))
+    else:
+        mesh = local_mesh(shape=mesh_shape, axis_names=(DATA_AXIS, DB_AXIS))
+    counts = dist_sharded(idx, mesh)
+    rows = engine.dist(idx)
+    for r in rows:
+        assert int(counts["shared"][r["i"], r["j"]]) == r["shared"]
+        assert int(counts["union"][r["i"], r["j"]]) == r["union"]
