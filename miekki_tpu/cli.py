@@ -165,7 +165,8 @@ def cmd_screen(args) -> int:
     else:
         rows = engine.screen(index, args.reads, flat=args.flat)
     dt = time.perf_counter() - t0
-    cols = ("reference", "hits", "sketch_size", "containment", "ani")
+    cols = ("reference", "hits", "sketch_size", "containment",
+            "containment_lo", "containment_hi", "ani")
     with _out(args) as f:
         f.write(engine.rows_to_tsv(rows, columns=cols))
     _metrics.emit(args.metrics, phase="screen", genomes=len(rows), seconds=dt)

@@ -539,12 +539,15 @@ def _screen_rows(index: SketchIndex, hits: np.ndarray) -> List[dict]:
     out = []
     for g in range(len(index)):
         c = float(hits[g]) / float(sizes[g]) if sizes[g] > 0 else 0.0
+        c_lo, c_hi = _oracle_compare.jaccard_ci(int(hits[g]), int(sizes[g]))
         out.append(
             {
                 "reference": index.names[g],
                 "hits": int(hits[g]),
                 "sketch_size": int(sizes[g]),
                 "containment": c,
+                "containment_lo": c_lo,
+                "containment_hi": c_hi,
                 "ani": _oracle_compare.ani_from_containment(c, k),
             }
         )
