@@ -100,9 +100,13 @@ def cmd_dist(args) -> int:
         rows = engine.rows_from_count_matrices(
             index_a, counts["shared"], counts["union"], index_b
         )
+        cols = engine.TSV_COLUMNS
+        if args.bounds:
+            rows = engine.add_bound_columns(rows, index_a.params.k)
+            cols = engine.BOUNDS_COLUMNS
         dt = time.perf_counter() - t0
         with _out(args) as f:
-            f.write(engine.rows_to_tsv(rows))
+            f.write(engine.rows_to_tsv(rows, columns=cols))
         _metrics.emit(args.metrics, phase="dist", pairs=len(rows), seconds=dt,
                       pairs_per_s=len(rows) / dt if dt > 0 else 0.0,
                       distributed=True)
