@@ -35,3 +35,29 @@ def test_fuzz_sketch_and_compare(trial):
     rec = oc.compare_sketches(got, sk2, k, s)
     assert 0.0 <= rec["jaccard"] <= 1.0
     assert 0.0 <= rec["distance"] <= 1.0
+
+
+@pytest.mark.parametrize("kind", ["homopolymer", "tandem", "palindrome", "n_blocks"])
+def test_structured_genomes(kind):
+    """Adversarially structured sequences: massive hash duplication
+    (homopolymers, tandem repeats), revcomp symmetry (palindromes: F == R),
+    and long invalid blocks — all must stay oracle-exact."""
+    rng = np.random.default_rng(hash(kind) % 2**31)
+    k, s = 21, 200
+    if kind == "homopolymer":
+        codes = np.concatenate([
+            np.full(3000, 0, np.int64), np.full(3000, 2, np.int64),
+            rng.integers(0, 4, size=2000, dtype=np.int64)])
+    elif kind == "tandem":
+        motif = rng.integers(0, 4, size=37, dtype=np.int64)
+        codes = np.tile(motif, 300)
+    elif kind == "palindrome":
+        half = rng.integers(0, 4, size=4000, dtype=np.int64)
+        codes = np.concatenate([half, 3 - half[::-1]])  # revcomp mirror
+    else:
+        codes = rng.integers(0, 4, size=8000, dtype=np.int64)
+        codes[1000:3000] = 4  # long invalid block
+        codes[5000:5003] = 4
+    got = dsk.sketch_codes_device(codes.astype(np.uint8), k, s, chunk=2048)
+    want = np.unique(nthash.canonical_hashes(codes, k))[:s]
+    assert np.array_equal(got, want), kind
