@@ -163,3 +163,27 @@ def test_screen_long_records_fast_slow_parity(tmp_path, monkeypatch):
     slow = engine.screen(idx, rp, flat=2048)
     assert fast == slow
     assert fast[0]["containment"] > 0.3
+
+
+def test_no_trailing_newline(tmp_path):
+    p = tmp_path / "nt.fa"
+    p.write_bytes(b">a\nACGT\nGGCC")  # no final newline
+    assert_same(p)
+
+
+def test_empty_sequence_record(tmp_path):
+    p = tmp_path / "empty_rec.fa"
+    p.write_bytes(b">empty\n>full\nACGTACGT\n")
+    assert_same(p)
+
+
+def test_fastq_no_trailing_newline(tmp_path):
+    p = tmp_path / "nt.fq"
+    p.write_bytes(b"@r\nACGT\n+\nIIII")  # qual line without newline
+    assert_same(p)
+
+
+def test_header_only_file(tmp_path):
+    p = tmp_path / "ho.fa"
+    p.write_bytes(b">only_header\n")
+    assert_same(p)
