@@ -31,7 +31,8 @@ from .ops import u64
 DEFAULT_CHUNK = 1 << 13  # row width (bases) for the sketch pipeline; rows are
 # grouped into ~512K-base scan steps (ops.sketch.STEP_TARGET).  Narrow rows
 # keep Pallas hash blocks inside VMEM; the k-1 overlap waste is <0.5%.
-DEFAULT_TILE = 128       # genomes per side of an all-vs-all tile
+DEFAULT_TILE = 256       # genomes per side of an all-vs-all tile (bigger
+# tiles amortize per-dispatch overhead; results are tiling-independent)
 DEFAULT_READ_FLAT = 1 << 22  # packed read bases per screening batch — large
 # batches amortize per-dispatch overhead; the device-side cost is ~2 ms
 # per Mbase (hash + partition + survivor join; see docs/DESIGN.md)
