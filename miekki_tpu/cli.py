@@ -1,13 +1,28 @@
 """Command-line interface (component C10, SURVEY.md §2) in the Mash idiom:
 
   python -m miekki_tpu.cli sketch  <genomes...> -o db.npz  [-k 31] [-s 10000]
-  python -m miekki_tpu.cli dist    <db.npz|genomes...> [--ref db2.npz] -o out.tsv
-  python -m miekki_tpu.cli screen  <db.npz> <reads.fq[.gz]> -o out.tsv
-  python -m miekki_tpu.cli info    <db.npz>
+                                   [--per-record] [--shards N]
+  python -m miekki_tpu.cli dist    <db.npz|shards...|genomes...>
+                                   [--ref db2.npz] -o out.tsv
+                                   [--distributed [--counts c.npz]]
+                                   [--manifest m.jsonl] [--matrix]
+                                   [--containment] [--bounds]
+                                   [--max-dist D] [--max-p P]
+  python -m miekki_tpu.cli screen  <db.npz> <reads.fq[.gz]...> -o out.tsv
+                                   [--distributed]
+  python -m miekki_tpu.cli info    <db.npz> [--dump]
+  python -m miekki_tpu.cli merge   <dbs...> -o merged.npz
 
-Inputs ending in .npz are loaded as sketch indexes; anything else is treated
-as a FASTA/FASTQ(.gz) genome file and sketched on the fly.  `--profile DIR`
-wraps the run in a jax.profiler trace (SURVEY.md §5 "Tracing / profiling").
+Mash-command mapping: sketch≈`mash sketch` (`--per-record`≈`-i`),
+dist≈`mash dist` (`--matrix`≈`-t`, `--max-dist`≈`-d`, `--max-p`≈`-v`,
+`--bounds`≈`mash bounds`), screen≈`mash screen`, info≈`mash info`
+(`--dump`≈`-d`), merge≈`mash paste`.
+
+Inputs ending in .npz are loaded as sketch indexes (several = per-host
+shards); anything else is treated as a FASTA/FASTQ(.gz) genome file and
+sketched on the fly.  `--profile DIR` wraps the run in a jax.profiler trace
+(SURVEY.md §5 "Tracing / profiling"); `--metrics FILE` appends phase
+metrics JSON.
 """
 
 from __future__ import annotations
