@@ -85,6 +85,73 @@ def _counts_for_col(rhi, rlo, chi_row, clo_row, s: int, sp: int):
     return shared, union, inter
 
 
+def _tile_kernel_u2(rhi_ref, rlo_ref, chi_hbm, clo_hbm,
+                    shared_ref, union_ref, inter_ref,
+                    buf_hi, buf_lo, sems, *, s: int, sp: int, tj: int):
+    """Column-loop unrolled x2 (MIEKKI_TILE_UNROLL=2): two independent
+    merges per iteration give the scheduler ILP across their serial
+    compare-exchange chains.  Requires tj even (caller pads); 4 DMA slots.
+
+    VMEM limit: two live [BI, 2*sp] merges fit only for sp <= 8192 — at the
+    default s=10k (sp=16384) Mosaic reports 22.4M > 16M scoped vmem, so
+    this stays opt-in for small-s workloads (measured OOM 2026-08-17).
+    """
+    rhi = rhi_ref[...]
+    rlo = rlo_ref[...]
+    bi = rhi.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bi, tj), 1)
+    zeros = jnp.zeros((bi, tj), jnp.int32)
+
+    def dma(slot, j):
+        return (
+            pltpu.make_async_copy(chi_hbm.at[j], buf_hi.at[slot],
+                                  sems.at[slot, 0]),
+            pltpu.make_async_copy(clo_hbm.at[j], buf_lo.at[slot],
+                                  sems.at[slot, 1]),
+        )
+
+    for d in dma(0, 0):
+        d.start()
+    for d in dma(1, 1):
+        d.start()
+
+    def body(it, carry):
+        sh_acc, un_acc, in_acc = carry
+        j0 = 2 * it
+        base = jax.lax.rem(it, 2) * 2          # this iteration's slot pair
+        nbase = jax.lax.rem(it + 1, 2) * 2     # next iteration's slot pair
+
+        @pl.when(j0 + 2 < tj)
+        def _():
+            for d in dma(nbase, j0 + 2):
+                d.start()
+            for d in dma(nbase + 1, j0 + 3):
+                d.start()
+
+        for d in dma(base, j0):
+            d.wait()
+        for d in dma(base + 1, j0 + 1):
+            d.wait()
+        sh0, un0, in0 = _counts_for_col(rhi, rlo, buf_hi[base], buf_lo[base],
+                                        s, sp)
+        sh1, un1, in1 = _counts_for_col(rhi, rlo, buf_hi[base + 1],
+                                        buf_lo[base + 1], s, sp)
+        hit0 = lane == j0
+        hit1 = lane == j0 + 1
+        sh_acc = jnp.where(hit0, sh0[:, None],
+                           jnp.where(hit1, sh1[:, None], sh_acc))
+        un_acc = jnp.where(hit0, un0[:, None],
+                           jnp.where(hit1, un1[:, None], un_acc))
+        in_acc = jnp.where(hit0, in0[:, None],
+                           jnp.where(hit1, in1[:, None], in_acc))
+        return sh_acc, un_acc, in_acc
+
+    sh, un, it_ = jax.lax.fori_loop(0, tj // 2, body, (zeros, zeros, zeros))
+    shared_ref[...] = sh
+    union_ref[...] = un
+    inter_ref[...] = it_
+
+
 def _tile_kernel(rhi_ref, rlo_ref, chi_hbm, clo_hbm,
                  shared_ref, union_ref, inter_ref,
                  buf_hi, buf_lo, sems, *, s: int, sp: int, tj: int):
@@ -164,28 +231,39 @@ def tile_counts_pallas(rows: u64.Pair, cols: u64.Pair, s: int,
     cols_rev = (cols[0][:, ::-1].reshape(tj, 1, sp),
                 cols[1][:, ::-1].reshape(tj, 1, sp))
 
+    import os
+
+    unroll2 = os.environ.get("MIEKKI_TILE_UNROLL", "1") == "2"
+    tj_orig = tj
+    if unroll2 and tj % 2:
+        cfg3 = ((0, 1), (0, 0), (0, 0))
+        cols_rev = (jnp.pad(cols_rev[0], cfg3, constant_values=u64.INF_HI),
+                    jnp.pad(cols_rev[1], cfg3, constant_values=u64.INF_LO))
+        tj += 1
     out_shape = jax.ShapeDtypeStruct((ti_p, tj), jnp.int32)
     row_spec = pl.BlockSpec((BI, sp), lambda i: (i, 0), memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM; DMA'd
     out_spec = pl.BlockSpec((BI, tj), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    n_slots = 4 if unroll2 else 2
     shared, union, inter = pl.pallas_call(
-        partial(_tile_kernel, s=s, sp=sp, tj=tj),
+        partial(_tile_kernel_u2 if unroll2 else _tile_kernel,
+                s=s, sp=sp, tj=tj),
         grid=(ti_p // BI,),
         in_specs=[row_spec, row_spec, col_spec, col_spec],
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(out_shape, out_shape, out_shape),
         scratch_shapes=[
-            pltpu.VMEM((2, 1, sp), jnp.uint32),
-            pltpu.VMEM((2, 1, sp), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((n_slots, 1, sp), jnp.uint32),
+            pltpu.VMEM((n_slots, 1, sp), jnp.uint32),
+            pltpu.SemaphoreType.DMA((n_slots, 2)),
         ],
         interpret=interpret,
     )(rows[0], rows[1], cols_rev[0], cols_rev[1])
 
     return {
-        "shared_in_x": shared[:ti],
-        "union_size": union[:ti],
-        "inter_full": inter[:ti],
+        "shared_in_x": shared[:ti, :tj_orig],
+        "union_size": union[:ti, :tj_orig],
+        "inter_full": inter[:ti, :tj_orig],
         "n_a": jnp.sum(~u64.is_inf(rows), axis=-1).astype(jnp.int32)[:ti],
         "n_b": jnp.sum(~u64.is_inf(cols), axis=-1).astype(jnp.int32),
     }
