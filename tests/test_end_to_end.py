@@ -224,3 +224,19 @@ def test_dist_containment_columns(tmp_path):
     sb = OS.sketch_codes(E.encode(g2), 21, 300)
     want = OC.intersection_size(sa, sb)
     assert rel["containment_q"] == want / len(sa)
+
+
+def test_sketch_fastq_read_set_pooled(tmp_path):
+    """Sketching a FASTQ read set as ONE pooled sketch (the metagenome
+    use-case: mash sketch reads.fq) must equal the oracle over the
+    N-separated concatenation of the reads."""
+    rng = np.random.default_rng(121)
+    genome = random_seq(rng, 8000)
+    reads = reads_from_genome(rng, genome, 200, 120)
+    rp = write_fastq(tmp_path / "r.fq", [(f"r{i}", s) for i, s in enumerate(reads)])
+    params = SketchParams(k=21, s=300)
+    sk = engine.sketch_file(rp, params)
+    from miekki_tpu.oracle import nthash
+    want = np.unique(nthash.canonical_hashes(
+        encode.encode(b"N".join(reads)), 21))[:300]
+    assert np.array_equal(sk, want)
