@@ -127,10 +127,26 @@ def build_index(
     """
     if names is None:
         names = [str(p) for p in paths]
-    codes_list = [
-        _encode.pack_records(_reader.read_genome_codes(p), params.k)
-        for p in paths
-    ]
+    if len(paths) > 4:
+        # parse files in a thread pool: the native parser (ctypes) and gzip
+        # inflate release the GIL, so IO overlaps across files and with the
+        # device dispatches that follow
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            codes_list = list(
+                ex.map(
+                    lambda p: _encode.pack_records(
+                        _reader.read_genome_codes(p), params.k
+                    ),
+                    paths,
+                )
+            )
+    else:
+        codes_list = [
+            _encode.pack_records(_reader.read_genome_codes(p), params.k)
+            for p in paths
+        ]
     return _build_index_from_codes(codes_list, list(names), params, chunk, batch)
 
 
