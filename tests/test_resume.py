@@ -108,3 +108,18 @@ def test_cli_manifest_resume(tmp_path):
     plain = str(tmp_path / "p.tsv")
     main(["dist", db, "-o", plain])
     assert sorted(open(plain).read().splitlines()[1:]) == sorted(first.splitlines()[1:])
+
+
+def test_resumable_rectangular(idx, tmp_path):
+    """dist_resumable with a reference index (rectangular comparison)."""
+    from miekki_tpu.index.store import SketchIndex
+
+    a = SketchIndex(idx.params, idx.names[:4], idx.hi[:4], idx.lo[:4])
+    b = SketchIndex(idx.params, idx.names[4:], idx.hi[4:], idx.lo[4:])
+    out, mani = tmp_path / "r.tsv", tmp_path / "r.manifest"
+    n = engine.dist_resumable(a, out, mani, index_b=b, tile=3)
+    rows = engine.dist(a, b)
+    assert n == len(rows) == 4 * 5
+    got = sorted(out.read_text().splitlines()[1:])
+    want = sorted(engine.rows_to_tsv(rows).splitlines()[1:])
+    assert got == want
