@@ -343,3 +343,13 @@ def test_cli_info_dump_roundtrip(tmp_path, capsys):
     codes = pack_records(read_genome_codes(p), 21)
     want = OS.sketch_codes(codes, 21, 100)
     assert hashes == [int(x) for x in want]
+
+
+def test_cli_version(capsys):
+    import pytest
+    from miekki_tpu.cli import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["--version"])
+    assert e.value.code == 0
+    assert "miekki-tpu" in capsys.readouterr().out
