@@ -353,3 +353,36 @@ def test_cli_version(capsys):
         main(["--version"])
     assert e.value.code == 0
     assert "miekki-tpu" in capsys.readouterr().out
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_cli_random_params_end_to_end(tmp_path, seed):
+    """Randomized k/s through the full CLI flow with oracle parity."""
+    import numpy as np
+    from fixtures import make_genome_family, write_fasta
+    from miekki_tpu.cli import main
+    from miekki_tpu.io import encode
+    from miekki_tpu.oracle import compare as OC, sketch as OS
+
+    rng = np.random.default_rng(1000 + seed)
+    k = int(rng.integers(11, 40))
+    s = int(rng.integers(50, 400))
+    fam = make_genome_family(rng, 3, int(rng.integers(2000, 6000)),
+                             sub_rate=0.04)
+    paths = [str(write_fasta(tmp_path / f"g{i}.fa", [(f"g{i}", g)]))
+             for i, g in enumerate(fam)]
+    db = str(tmp_path / "db.npz")
+    main(["sketch", *paths, "-o", db, "-k", str(k), "-s", str(s)])
+    out = tmp_path / "d.tsv"
+    main(["dist", db, "-o", str(out)])
+    lines = out.read_text().splitlines()
+    header = lines[0].lstrip("#").split("\t")
+    sks = [OS.sketch_codes(encode.encode(g), k, s) for g in fam]
+    for line in lines[1:]:
+        rec = dict(zip(header, line.split("\t")))
+        qi = int(rec["query"].split("g")[-1].split(".")[0])
+        ri = int(rec["reference"].split("g")[-1].split(".")[0])
+        want = OC.compare_sketches(sks[qi], sks[ri], k, s)
+        assert int(rec["shared"]) == want["shared"], (k, s)
+        assert float(rec["jaccard"]) == round(want["jaccard"], 10) or \
+               abs(float(rec["jaccard"]) - want["jaccard"]) < 1e-9
