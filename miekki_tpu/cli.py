@@ -88,7 +88,27 @@ def cmd_sketch(args) -> int:
 def cmd_dist(args) -> int:
     index_a = _load_or_build(args.query, args)
     index_b = SketchIndex.load(args.ref) if args.ref else None
+    cols = engine.select_columns(args.containment, args.bounds)
     t0 = time.perf_counter()
+    if args.matrix:
+        # Distance-matrix output has no per-pair rows; row-level flags are
+        # meaningless here — refuse rather than silently drop them.
+        if index_b is not None:
+            print("dist: --matrix is self-all-vs-all only", file=sys.stderr)
+            return 2
+        if (args.containment or args.bounds or args.max_dist is not None
+                or args.max_p is not None):
+            print("dist: --matrix excludes --containment/--bounds/"
+                  "--max-dist/--max-p", file=sys.stderr)
+            return 2
+        text = engine.dist_matrix_text(index_a, tile=args.tile)
+        dt = time.perf_counter() - t0
+        with _out(args) as f:
+            f.write(text)
+        _metrics.emit(args.metrics, phase="dist", seconds=dt, matrix=True)
+        print(f"wrote {len(index_a)}x{len(index_a)} matrix in {dt:.2f}s",
+              file=sys.stderr)
+        return 0
     if args.distributed:
         import numpy as np
 
@@ -102,6 +122,7 @@ def cmd_dist(args) -> int:
             np.savez_compressed(
                 args.counts,
                 shared=counts["shared"], union=counts["union"],
+                inter=counts["inter"],
                 k=index_a.params.k, s=index_a.params.s,
                 query_names=np.array(index_a.names),
                 reference_names=np.array(idx_b.names),
@@ -113,12 +134,12 @@ def cmd_dist(args) -> int:
                   f"in {dt:.2f}s -> {args.counts}", file=sys.stderr)
             return 0
         rows = engine.rows_from_count_matrices(
-            index_a, counts["shared"], counts["union"], index_b
+            index_a, counts["shared"], counts["union"], index_b,
+            inter=counts["inter"],
         )
-        cols = engine.TSV_COLUMNS
+        rows = engine.filter_rows(rows, args.max_dist, args.max_p)
         if args.bounds:
             rows = engine.add_bound_columns(rows, index_a.params.k)
-            cols = engine.BOUNDS_COLUMNS
         dt = time.perf_counter() - t0
         with _out(args) as f:
             f.write(engine.rows_to_tsv(rows, columns=cols))
@@ -133,36 +154,20 @@ def cmd_dist(args) -> int:
             print("dist: --manifest requires -o FILE", file=sys.stderr)
             return 2
         n = engine.dist_resumable(index_a, args.output, args.manifest,
-                                  index_b, tile=args.tile)
+                                  index_b, tile=args.tile, columns=cols,
+                                  max_dist=args.max_dist, max_p=args.max_p,
+                                  bounds=args.bounds)
         dt = time.perf_counter() - t0
         _metrics.emit(args.metrics, phase="dist", pairs=n, seconds=dt,
                       pairs_per_s=n / dt if dt > 0 else 0.0)
         print(f"compared {n} new pairs in {dt:.2f}s (resumable via "
               f"{args.manifest})", file=sys.stderr)
         return 0
-    if args.matrix:
-        if index_b is not None:
-            print("dist: --matrix is self-all-vs-all only", file=sys.stderr)
-            return 2
-        text = engine.dist_matrix_text(index_a, tile=args.tile)
-        dt = time.perf_counter() - t0
-        with _out(args) as f:
-            f.write(text)
-        _metrics.emit(args.metrics, phase="dist", seconds=dt, matrix=True)
-        print(f"wrote {len(index_a)}x{len(index_a)} matrix in {dt:.2f}s",
-              file=sys.stderr)
-        return 0
     rows = engine.dist(index_a, index_b, tile=args.tile)
-    if args.max_dist is not None:
-        rows = [r for r in rows if r["mash_distance"] <= args.max_dist]
-    if args.max_p is not None:
-        rows = [r for r in rows if r["p_value"] <= args.max_p]
-    dt = time.perf_counter() - t0
-    cols = (engine.CONTAINMENT_COLUMNS if args.containment
-            else engine.TSV_COLUMNS)
+    rows = engine.filter_rows(rows, args.max_dist, args.max_p)
     if args.bounds:
         rows = engine.add_bound_columns(rows, index_a.params.k)
-        cols = tuple(cols) + engine.BOUNDS_COLUMNS[len(engine.TSV_COLUMNS):]
+    dt = time.perf_counter() - t0
     with _out(args) as f:
         f.write(engine.rows_to_tsv(rows, columns=cols))
     _metrics.emit(args.metrics, phase="dist", pairs=len(rows), seconds=dt,

@@ -94,10 +94,25 @@ def sketch_file(
 MAX_GENOME_BATCH = 16  # genomes vmapped per device call (power-of-2 buckets)
 
 
-@partial(jax.jit, static_argnames=("k", "s"))
 def _sketch_batch(rows3d: jax.Array, k: int, s: int) -> u64.Pair:
-    """vmap of sketch_chunked over a [G, n, W] stack of same-shape genomes."""
-    return jax.vmap(lambda r: _sketch.sketch_chunked(r, k, s))(rows3d)
+    """vmap of sketch_chunked over a [G, n, W] stack of same-shape genomes.
+
+    Env strategy vars are resolved here, outside jit, so the cache is keyed
+    on them (ADVICE r1)."""
+    return _sketch_batch_jit(
+        rows3d, k, s, _sketch._env_merge_strategy(),
+        _sketch._env_hash_impl(), _sketch._env_fused_levels(),
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "s", "strategy", "hash_impl",
+                                   "fused_levels"))
+def _sketch_batch_jit(rows3d: jax.Array, k: int, s: int, strategy: str,
+                      hash_impl: str, fused_levels: int) -> u64.Pair:
+    return jax.vmap(
+        lambda r: _sketch._sketch_chunked(r, k, s, 0, strategy, hash_impl,
+                                          fused_levels)
+    )(rows3d)
 
 
 def build_index_per_record(
@@ -298,25 +313,60 @@ def rows_from_count_matrices(
     shared: np.ndarray,
     union: np.ndarray,
     index_b: Optional[SketchIndex] = None,
+    inter: Optional[np.ndarray] = None,
 ) -> List[dict]:
     """Comparison rows from full [N_a, N_b] count matrices (the
-    parallel.dist_sharded output) — identical rows to engine.dist."""
+    parallel.dist_sharded output) — identical rows to engine.dist.
+
+    When `inter` (full |S(A) ∩ S(B)|) is given, containment columns are
+    populated exactly as dist_iter does, so --containment works on the
+    distributed path too."""
     self_compare = index_b is None
     idx_b = index_a if self_compare else index_b
     k = index_a.params.k
     rows = []
     cards_a = index_a.cardinalities()
     cards_b = cards_a if self_compare else idx_b.cardinalities()
+    sizes_a = index_a.sizes()
+    sizes_b = sizes_a if self_compare else idx_b.sizes()
     for i in range(len(index_a)):
         j0 = i + 1 if self_compare else 0
         for j in range(j0, len(idx_b)):
             row = _row_from_counts(int(shared[i, j]), int(union[i, j]), k,
                                    cards_a[i], cards_b[j])
+            if inter is not None:
+                it = int(inter[i, j])
+                sz_q, sz_r = int(sizes_a[i]), int(sizes_b[j])
+                row["containment_q"] = it / sz_q if sz_q else 0.0
+                row["containment_r"] = it / sz_r if sz_r else 0.0
+                row["ani_containment"] = _oracle_compare.ani_from_containment(
+                    max(row["containment_q"], row["containment_r"]), k
+                )
             row["query"] = index_a.names[i]
             row["reference"] = idx_b.names[j]
             row["i"], row["j"] = i, j
             rows.append(row)
     return rows
+
+
+def select_columns(containment: bool = False, bounds: bool = False):
+    """TSV column tuple for a dist output with optional extras — shared by
+    every cmd_dist code path so flags are never silently dropped."""
+    cols = CONTAINMENT_COLUMNS if containment else TSV_COLUMNS
+    if bounds:
+        cols = tuple(cols) + BOUNDS_COLUMNS[len(TSV_COLUMNS):]
+    return tuple(cols)
+
+
+def filter_rows(rows, max_dist: Optional[float] = None,
+                max_p: Optional[float] = None) -> List[dict]:
+    """--max-dist / --max-p row filters (mash dist -d / -v analogs)."""
+    out = list(rows)
+    if max_dist is not None:
+        out = [r for r in out if r["mash_distance"] <= max_dist]
+    if max_p is not None:
+        out = [r for r in out if r["p_value"] <= max_p]
+    return out
 
 
 def dist_resumable(
@@ -326,6 +376,9 @@ def dist_resumable(
     index_b: Optional[SketchIndex] = None,
     tile: int = DEFAULT_TILE,
     columns: Sequence[str] = TSV_COLUMNS,
+    max_dist: Optional[float] = None,
+    max_p: Optional[float] = None,
+    bounds: bool = False,
 ) -> int:
     """Checkpointed all-vs-all: stream TSV rows tile-by-tile, recording each
     completed tile in a JSON-lines manifest (SURVEY.md §5 "Failure
@@ -362,6 +415,10 @@ def dist_resumable(
 
         def on_tile_done(tile_coord):
             nonlocal n_rows
+            if max_dist is not None or max_p is not None:
+                pending[:] = filter_rows(pending, max_dist, max_p)
+            if bounds:
+                add_bound_columns(pending, index_a.params.k)
             for r in pending:
                 cells = [
                     f"{r[c]:.10g}" if isinstance(r[c], float) else str(r[c])
@@ -433,6 +490,14 @@ def _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes, k: int):
     _, ph, pl = jax.lax.sort((key, h[0], h[1]), num_keys=1)
 
     b = min(SCREEN_CHUNK, n)
+    # INF-pad to a multiple of b: dynamic_slice CLAMPS an out-of-range start,
+    # which would desynchronize the slice from the `in_range` mask below and
+    # silently drop trailing survivors whenever n % b != 0 (ADVICE r1, high).
+    n_pad = -(-n // b) * b
+    if n_pad != n:
+        fill = jnp.full((n_pad - n,), 0xFFFFFFFF, dtype=ph.dtype)
+        ph = jnp.concatenate([ph, fill])
+        pl = jnp.concatenate([pl, fill])
 
     def body(state):
         off, acc = state

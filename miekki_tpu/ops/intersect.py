@@ -180,15 +180,26 @@ def _pad_pow2(p: u64.Pair) -> u64.Pair:
             jnp.pad(p[1], pad, constant_values=u64.INF_LO))
 
 
-@partial(jax.jit, static_argnames=("s",))
-def tile_counts(rows: u64.Pair, cols: u64.Pair, s: int):
+def tile_counts(rows: u64.Pair, cols: u64.Pair, s: int, impl: str = None):
     """All-pairs counts for a tile: rows [(Ti, s)], cols [(Tj, s)] →
     dict of int32 [Ti, Tj] arrays.  The inner unit of the all-vs-all
-    scheduler (SURVEY.md §3.2).  Vectorized over (row-group × Tj) pairs;
+    scheduler (SURVEY.md §3.2).
+
+    `impl` overrides MIEKKI_INTERSECT; when None the env var is read HERE,
+    at call time, and passed to the jitted body as a static argument — so
+    the jit cache is keyed on it and changing the env between calls takes
+    effect (ADVICE r1: trace-time env reads were silently pinned).  Callers
+    inside a traced context (the ring) should pass `impl` explicitly.
+    """
+    return _tile_counts(rows, cols, s, impl or _intersect_impl())
+
+
+@partial(jax.jit, static_argnames=("s", "impl"))
+def _tile_counts(rows: u64.Pair, cols: u64.Pair, s: int, impl: str):
+    """Jitted tile_counts body; vectorized over (row-group × Tj) pairs;
     sequential (lax.map) over row groups to bound temp memory."""
     ti = rows[0].shape[0]
     g = min(ROW_GROUP, ti)
-    impl = _intersect_impl()
 
     if impl == "pallas":
         from . import pallas_intersect as _pi

@@ -91,26 +91,51 @@ def _tree_level(h: u64.Pair, cap: int = TREE_CAP, width: int = TREE_WIDTH):
     return (x0[:, :cap].reshape(-1), x1[:, :cap].reshape(-1)), overflow
 
 
+def _env_merge_strategy() -> str:
+    import os
+
+    return os.environ.get("MIEKKI_MERGE", "tree").lower()
+
+
+def _env_hash_impl() -> str:
+    import os
+
+    impl = os.environ.get("MIEKKI_HASH", "auto").lower()
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    return impl
+
+
+def _env_fused_levels() -> int:
+    import os
+
+    return int(os.environ.get("MIEKKI_FUSED_LEVELS", "2"))
+
+
 def merge_into_sketch(
-    sketch: u64.Pair, hashes: u64.Pair, s: int, budget: int = CAND_BUDGET
+    sketch: u64.Pair, hashes: u64.Pair, s: int, budget: int = CAND_BUDGET,
+    strategy: str = None,
 ) -> u64.Pair:
     """Merge candidate hashes (INF = masked) into a bottom-s sketch.
 
-    Exact bottom-s-distinct semantics under either strategy
-    (MIEKKI_MERGE env, property-tested vs the oracle):
+    Exact bottom-s-distinct semantics under every strategy
+    (property-tested vs the oracle).  `strategy` defaults to the
+    MIEKKI_MERGE env var (default ``tree``) — note that when this function
+    is called inside an outer jit WITHOUT an explicit strategy, the env var
+    is read at trace time and pinned by the jit cache; pass it explicitly
+    from un-traced code to make it switchable (ADVICE r1):
 
-    * ``sort`` (default): branch-free full sort-dedup-truncate.  The TPU
-      sort unit makes this cheap, and with no `lax.cond` it stays real
-      control-flow-free — safe under vmap/scan (XLA converts cond to
-      select in batched contexts, executing BOTH branches).
+    * ``tree`` (default): threshold mask, then levels of row-local
+      width-128 sorts keeping the 32 smallest per row; exact while_loop
+      fallback on overflow.
     * ``threshold``: prefilter h < current s-th min, compact survivors into
-      a fixed budget, sort only (s + budget); falls back to the full sort
-      via lax.cond when the budget overflows (cold sketch).
+      a fixed budget, sort only (s + budget); while_loop fallback on
+      overflow (cold sketch).
+    * ``sort`` (any other value): branch-free full sort-dedup-truncate.
     """
-    import os
-
     c = hashes[0].size
-    strategy = os.environ.get("MIEKKI_MERGE", "tree").lower()
+    if strategy is None:
+        strategy = _env_merge_strategy()
     if strategy not in ("threshold", "tree") or c <= budget + s:
         return _merge_sorted_trunc(sketch, hashes, s)
 
@@ -168,17 +193,14 @@ def merge_into_sketch(
 STEP_TARGET = 1 << 19
 
 
-def _hash_rows(block: jax.Array, k: int) -> u64.Pair:
+def _hash_rows(block: jax.Array, k: int, impl: str = None) -> u64.Pair:
     """Hash a [g, W] row block with the configured implementation.
 
-    MIEKKI_HASH=pallas|xla|auto (env): auto uses the fused Pallas kernel on
-    TPU and the XLA path elsewhere.  Both are bit-identical.
+    impl (default: MIEKKI_HASH env = pallas|xla|auto): auto uses the Pallas
+    kernel on TPU and the XLA path elsewhere.  Both are bit-identical.
     """
-    import os
-
-    impl = os.environ.get("MIEKKI_HASH", "auto").lower()
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl is None:
+        impl = _env_hash_impl()
     if impl == "pallas":
         from . import pallas_hash as _ph
 
@@ -190,8 +212,9 @@ def _hash_rows(block: jax.Array, k: int) -> u64.Pair:
     return h
 
 
-@partial(jax.jit, static_argnames=("k", "s", "group"))
-def sketch_chunked(chunks: jax.Array, k: int, s: int, group: int = 0) -> u64.Pair:
+def sketch_chunked(chunks: jax.Array, k: int, s: int, group: int = 0,
+                   strategy: str = None, hash_impl: str = None,
+                   fused_levels: int = None) -> u64.Pair:
     """Sketch one genome given as [n_chunks, C + k - 1] code rows.
 
     Chunk rows must overlap by k-1 bases (row i covers window starts
@@ -201,13 +224,28 @@ def sketch_chunked(chunks: jax.Array, k: int, s: int, group: int = 0) -> u64.Pai
     merge each.  Returns the [(s,), (s,)] sketch pair (ascending,
     INF-padded).
 
-    MIEKKI_MERGE=fused uses the single-pass Pallas kernel
-    (ops.pallas_sketch: hash + threshold + 16x reduction in VMEM) with an
-    exact full-merge fallback; other strategies hash first
-    (MIEKKI_HASH impl) and merge separately.
+    strategy/hash_impl/fused_levels default to the MIEKKI_MERGE /
+    MIEKKI_HASH / MIEKKI_FUSED_LEVELS env vars, resolved HERE (call time,
+    outside jit) and passed to the jitted body as static arguments, so the
+    jit cache is keyed on them (ADVICE r1).  strategy=fused uses the
+    single-pass Pallas kernel (ops.pallas_sketch: hash + threshold + 16x
+    reduction in VMEM) with an exact full-merge fallback; other strategies
+    hash first (hash_impl) and merge separately.
     """
-    import os
+    return _sketch_chunked(
+        chunks, k, s, group,
+        strategy if strategy is not None else _env_merge_strategy(),
+        hash_impl if hash_impl is not None else _env_hash_impl(),
+        fused_levels if fused_levels is not None else _env_fused_levels(),
+    )
 
+
+@partial(jax.jit,
+         static_argnames=("k", "s", "group", "strategy", "hash_impl",
+                          "fused_levels"))
+def _sketch_chunked(chunks: jax.Array, k: int, s: int, group: int,
+                    strategy: str, hash_impl: str,
+                    fused_levels: int) -> u64.Pair:
     n, w = chunks.shape
     g = group or max(1, min(n, STEP_TARGET // max(1, w - k + 1)))
     if n % g:
@@ -216,12 +254,11 @@ def sketch_chunked(chunks: jax.Array, k: int, s: int, group: int = 0) -> u64.Pai
         )
     blocks = chunks.reshape(-1, g, w)
 
-    strategy = os.environ.get("MIEKKI_MERGE", "tree").lower()
     if strategy == "fused" and (w - k + 1) % 2048 == 0:
         from . import pallas_sketch as _ps
 
         interp = jax.default_backend() != "tpu"
-        levels = int(os.environ.get("MIEKKI_FUSED_LEVELS", "2"))
+        levels = fused_levels
 
         def body(carry, block):
             thr = (carry[0][s - 1], carry[1][s - 1])
@@ -248,9 +285,9 @@ def sketch_chunked(chunks: jax.Array, k: int, s: int, group: int = 0) -> u64.Pai
         return out
 
     def body(carry, block):
-        h = _hash_rows(block, k)
+        h = _hash_rows(block, k, impl=hash_impl)
         flat = (h[0].reshape(-1), h[1].reshape(-1))
-        return merge_into_sketch(carry, flat, s), None
+        return merge_into_sketch(carry, flat, s, strategy=strategy), None
 
     out, _ = jax.lax.scan(body, empty_sketch(s), blocks)
     return out

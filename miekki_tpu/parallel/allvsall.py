@@ -36,33 +36,37 @@ except AttributeError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 
-def _ring_counts_local(rows_hi, rows_lo, *, s: int, axis: str):
+def _ring_counts_local(rows_hi, rows_lo, *, s: int, axis: str, impl=None):
     """Per-device body (inside shard_map): rows [Nl, s] → counts [D, Nl, Nl]."""
     D = lax.axis_size(axis)
     perm = [(i, (i + 1) % D) for i in range(D)]
 
     def step(carry, _):
         c_hi, c_lo = carry
-        counts = _intersect.tile_counts((rows_hi, rows_lo), (c_hi, c_lo), s)
+        counts = _intersect.tile_counts((rows_hi, rows_lo), (c_hi, c_lo), s,
+                                        impl=impl)
         # Rotate the column block for the next step; XLA overlaps this
         # collective-permute with the (independent) intersection above.
         c_hi = lax.ppermute(c_hi, axis, perm)
         c_lo = lax.ppermute(c_lo, axis, perm)
-        return (c_hi, c_lo), (counts["shared_in_x"], counts["union_size"])
+        return (c_hi, c_lo), (counts["shared_in_x"], counts["union_size"],
+                              counts["inter_full"])
 
-    _, (shared, union) = lax.scan(step, (rows_hi, rows_lo), None, length=D)
-    return shared, union  # each [D, Nl, Nl]
+    _, (shared, union, inter) = lax.scan(step, (rows_hi, rows_lo), None,
+                                         length=D)
+    return shared, union, inter  # each [D, Nl, Nl]
 
 
-@partial(jax.jit, static_argnames=("s", "mesh", "axis"))
+@partial(jax.jit, static_argnames=("s", "mesh", "axis", "impl"))
 def ring_all_vs_all_counts(
-    db_hi: jax.Array, db_lo: jax.Array, *, s: int, mesh: Mesh, axis: str = DB_AXIS
+    db_hi: jax.Array, db_lo: jax.Array, *, s: int, mesh: Mesh,
+    axis: str = DB_AXIS, impl: str = None
 ) -> Tuple[jax.Array, jax.Array]:
     """Sharded all-vs-all counts.
 
     db planes: [N, s] uint32 with N divisible by the ``axis`` size (pad with
-    UINT64_MAX rows first).  Returns (shared, union) int32 [N, N] — already
-    un-rotated into global (row, column) order.
+    UINT64_MAX rows first).  Returns (shared, union, inter) int32 [N, N] —
+    already un-rotated into global (row, column) order.
     """
     D = mesh.shape[axis]
     n = db_hi.shape[0]
@@ -71,11 +75,11 @@ def ring_all_vs_all_counts(
     nl = n // D
 
     spec_db = P(axis, None)
-    shared, union = shard_map(
-        partial(_ring_counts_local, s=s, axis=axis),
+    shared, union, inter = shard_map(
+        partial(_ring_counts_local, s=s, axis=axis, impl=impl),
         mesh=mesh,
         in_specs=(spec_db, spec_db),
-        out_specs=(P(None, axis, None), P(None, axis, None)),
+        out_specs=(P(None, axis, None),) * 3,
         check_vma=False,  # pallas_call outputs carry no vma annotation
     )(db_hi, db_lo)
     # shared/union: [D, N, Nl]; at step t, global rows d*nl:(d+1)*nl hold the
@@ -94,7 +98,7 @@ def ring_all_vs_all_counts(
         out = out.at[d_ids, :, origin, :].set(x)
         return out.reshape(n, n)
 
-    return unrotate(shared), unrotate(union)
+    return unrotate(shared), unrotate(union), unrotate(inter)
 
 
 def dist_sharded(
@@ -107,8 +111,9 @@ def dist_sharded(
 
     Self-comparison when index_b is None (the pod-scale acceptance config,
     BASELINE.json config 5).  Returns {"shared": int32[N, N],
-    "union": int32[N, N]} for the UNPADDED N, bit-identical to the
-    single-device engine.dist counts.
+    "union": int32[N, N], "inter": int32[N, N]} for the UNPADDED N,
+    bit-identical to the single-device engine.dist counts (inter = full
+    |S(A) ∩ S(B)|, the containment numerator).
     """
     if index_b is not None:
         index_a.params.validate_compatible(index_b.params)
@@ -127,12 +132,15 @@ def dist_sharded(
         hi = np.concatenate([hi, pad])
         lo = np.concatenate([lo, pad])
 
-    shared, union = ring_all_vs_all_counts(
-        jnp.asarray(hi), jnp.asarray(lo), s=index_a.params.s, mesh=mesh, axis=axis
+    shared, union, inter = ring_all_vs_all_counts(
+        jnp.asarray(hi), jnp.asarray(lo), s=index_a.params.s, mesh=mesh,
+        axis=axis, impl=_intersect._intersect_impl()
     )
     shared = np.asarray(shared)
     union = np.asarray(union)
+    inter = np.asarray(inter)
     if index_b is not None:
-        return {"shared": shared[:n_a, n_a : n_a + n_b],
-                "union": union[:n_a, n_a : n_a + n_b]}
-    return {"shared": shared[:n_a, :n_a], "union": union[:n_a, :n_a]}
+        sl = np.s_[:n_a, n_a : n_a + n_b]
+        return {"shared": shared[sl], "union": union[sl], "inter": inter[sl]}
+    sl = np.s_[:n_a, :n_a]
+    return {"shared": shared[sl], "union": union[sl], "inter": inter[sl]}

@@ -93,7 +93,10 @@ int gunzip(const std::vector<uint8_t>& in, std::vector<uint8_t>& out) {
     }
   } while (ret != Z_STREAM_END && (zs.avail_in > 0 || zs.avail_out == 0));
   inflateEnd(&zs);
-  return kOk;
+  // A truncated stream leaves inflate at Z_OK with no input left; treat it
+  // as an error (the Python reader raises EOFError on the same bytes) —
+  // silently returning partial data would produce wrong sketches.
+  return ret == Z_STREAM_END ? kOk : kErrGzip;
 }
 
 struct Parsed {

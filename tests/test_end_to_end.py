@@ -240,3 +240,20 @@ def test_sketch_fastq_read_set_pooled(tmp_path):
     want = np.unique(nthash.canonical_hashes(
         encode.encode(b"N".join(reads)), 21))[:300]
     assert np.array_equal(sk, want)
+
+
+def test_screen_flat_not_multiple_of_chunk(tmp_path):
+    """Regression (ADVICE r1, high): when --flat is not a multiple of
+    SCREEN_CHUNK and survivors span >1 chunk, the final dynamic_slice used
+    to clamp its start and silently drop trailing survivors.  A genome
+    screened against itself with s > #kmers (every window survives the
+    prefilter) must still report containment 1.0."""
+    rng = np.random.default_rng(99)
+    params = SketchParams(k=21, s=20_000)  # sketch = all distinct hashes
+    genome = random_seq(rng, 12_000)
+    gpath = write_fasta(tmp_path / "g.fa", [("g", genome)])
+    index = engine.build_index([gpath], params, chunk=8192)
+    assert 4096 < int(index.sizes()[0]) < 20_000
+    rows = engine.screen(index, gpath, flat=6000)  # 6000 % 4096 != 0
+    assert rows[0]["hits"] == int(index.sizes()[0])
+    assert rows[0]["containment"] == 1.0

@@ -33,8 +33,6 @@ def test_env_matrix_bitwise_identical(monkeypatch, genomes_paths,
                                       reference_tsv, merge, hash_impl):
     monkeypatch.setenv("MIEKKI_MERGE", merge)
     monkeypatch.setenv("MIEKKI_HASH", hash_impl)
-    dsk.sketch_chunked.clear_cache()
-    engine._sketch_batch.clear_cache()
     idx = engine.build_index(genomes_paths, SketchParams(k=21, s=256))
     got = engine.rows_to_tsv(engine.dist(idx))
     assert got == reference_tsv, (merge, hash_impl)

@@ -187,3 +187,20 @@ def test_header_only_file(tmp_path):
     p = tmp_path / "ho.fa"
     p.write_bytes(b">only_header\n")
     assert_same(p)
+
+
+def test_truncated_gzip_rejected(tmp_path):
+    """Regression (ADVICE r1, medium): a truncated .gz must be an ERROR in
+    the native parser (kErrGzip), matching the Python reader's EOFError —
+    not silently-parsed partial data."""
+    rng = np.random.default_rng(5)
+    p = tmp_path / "g.fa.gz"
+    write_fasta(p, [("g", random_seq(rng, 5000))], gz=True)
+    data = p.read_bytes()
+    trunc = tmp_path / "t.fa.gz"
+    trunc.write_bytes(data[: len(data) - 8])  # drop gzip trailer + tail
+    if N.available():
+        with pytest.raises(ValueError, match="gzip"):
+            list(N.read_encoded_native(str(trunc)))
+    with pytest.raises(EOFError):
+        list(R.read_records(str(trunc)))  # pure-Python path (the spec)

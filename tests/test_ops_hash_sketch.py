@@ -182,7 +182,6 @@ def test_merge_strategies_equivalent(monkeypatch, strategy):
     from miekki_tpu.oracle import nthash as O
 
     monkeypatch.setenv("MIEKKI_MERGE", strategy)
-    S.sketch_chunked.clear_cache()
     rng = np.random.default_rng(42)
     k, s = 21, 500
     genome = rng.integers(0, 4, size=60_000, dtype=np.int64)
@@ -199,7 +198,6 @@ def test_merge_tree_repetitive_genome(monkeypatch):
     from miekki_tpu.oracle import nthash as O
 
     monkeypatch.setenv("MIEKKI_MERGE", "tree")
-    S.sketch_chunked.clear_cache()
     rng = np.random.default_rng(7)
     k, s = 21, 200
     motif = rng.integers(0, 4, size=150, dtype=np.int64)

@@ -202,7 +202,6 @@ def test_tile_counts_bitonic_impl_matches(monkeypatch):
     outs = {}
     for impl in ("searchsorted", "bitonic"):
         monkeypatch.setenv("MIEKKI_INTERSECT", impl)
-        I.tile_counts.clear_cache()
         outs[impl] = {k: np.asarray(v)
                       for k, v in I.tile_counts(rows, cols, s).items()}
     for key in outs["bitonic"]:

@@ -45,7 +45,6 @@ g = rng.integers(0, 4, size=100_000, dtype=np.int64)
 want = np.unique(O.canonical_hashes(g, k))[:1000]
 for impl in ("xla", "pallas"):
     os.environ["MIEKKI_HASH"] = impl
-    S.sketch_chunked.clear_cache()
     got = S.sketch_codes_device(g.astype(np.uint8), k, 1000)
     print(f"sketch[{impl}] == oracle:", np.array_equal(got, want), flush=True)
 
@@ -69,7 +68,6 @@ for i in range(8):
         oracle_shared[i, j], oracle_union[i, j] = sh, un
 for impl in ("bitonic", "pallas"):
     os.environ["MIEKKI_INTERSECT"] = impl
-    I.tile_counts.clear_cache()
     c = I.tile_counts(rows, cols, s_small)
     ok = np.array_equal(np.asarray(c["shared_in_x"]), oracle_shared) and \
          np.array_equal(np.asarray(c["union_size"]), oracle_union)
@@ -81,7 +79,6 @@ C, NC = 1 << 13, 2048
 big = jnp.asarray(rng.integers(0, 4, size=(NC, C + k - 1), dtype=np.uint8))
 for impl in ("xla", "pallas"):
     os.environ["MIEKKI_HASH"] = impl
-    S.sketch_chunked.clear_cache()
     f = lambda r: S.sketch_chunked(r, k, s)
     dt = timeit(f, big)
     print(f"PERF sketch[{impl}]: {dt*1e3:.2f} ms = {NC*C/dt/1e9:.2f} Gbase/s", flush=True)
@@ -93,7 +90,6 @@ thi = jnp.asarray((tab >> np.uint64(32)).astype(np.uint32)); tlo = jnp.asarray((
 rows, cols = (thi[:T], tlo[:T]), (thi[T:], tlo[T:])
 for impl in ("pallas", "bitonic"):
     os.environ["MIEKKI_INTERSECT"] = impl
-    I.tile_counts.clear_cache()
     f = lambda a0, a1, b0, b1: I.tile_counts((a0, a1), (b0, b1), s)
     try:
         dt = timeit(f, rows[0], rows[1], cols[0], cols[1])

@@ -25,7 +25,6 @@ for merge in ("fused", "tree", "threshold", "sort"):
     for hash_impl in ("xla", "pallas"):
         os.environ["MIEKKI_MERGE"] = merge
         os.environ["MIEKKI_HASH"] = hash_impl
-        S.sketch_chunked.clear_cache()
         f = jax.jit(lambda r: S.sketch_chunked(r, k, s))
         try:
             dt = t_host(f, rows)
