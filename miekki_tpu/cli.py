@@ -133,20 +133,17 @@ def cmd_dist(args) -> int:
             print(f"wrote count matrices {counts['shared'].shape} "
                   f"in {dt:.2f}s -> {args.counts}", file=sys.stderr)
             return 0
-        rows = engine.rows_from_count_matrices(
-            index_a, counts["shared"], counts["union"], index_b,
-            inter=counts["inter"],
-        )
-        rows = engine.filter_rows(rows, args.max_dist, args.max_p)
-        if args.bounds:
-            rows = engine.add_bound_columns(rows, index_a.params.k)
-        dt = time.perf_counter() - t0
         with _out(args) as f:
-            f.write(engine.rows_to_tsv(rows, columns=cols))
-        _metrics.emit(args.metrics, phase="dist", pairs=len(rows), seconds=dt,
-                      pairs_per_s=len(rows) / dt if dt > 0 else 0.0,
+            n = engine.counts_tsv_write(
+                f, index_a, counts["shared"], counts["union"], index_b,
+                inter=counts["inter"], columns=cols,
+                max_dist=args.max_dist, max_p=args.max_p,
+            )
+        dt = time.perf_counter() - t0
+        _metrics.emit(args.metrics, phase="dist", pairs=n, seconds=dt,
+                      pairs_per_s=n / dt if dt > 0 else 0.0,
                       distributed=True)
-        print(f"compared {len(rows)} pairs on the device mesh in {dt:.2f}s",
+        print(f"compared {n} pairs on the device mesh in {dt:.2f}s",
               file=sys.stderr)
         return 0
     if args.manifest:
@@ -163,16 +160,14 @@ def cmd_dist(args) -> int:
         print(f"compared {n} new pairs in {dt:.2f}s (resumable via "
               f"{args.manifest})", file=sys.stderr)
         return 0
-    rows = engine.dist(index_a, index_b, tile=args.tile)
-    rows = engine.filter_rows(rows, args.max_dist, args.max_p)
-    if args.bounds:
-        rows = engine.add_bound_columns(rows, index_a.params.k)
-    dt = time.perf_counter() - t0
     with _out(args) as f:
-        f.write(engine.rows_to_tsv(rows, columns=cols))
-    _metrics.emit(args.metrics, phase="dist", pairs=len(rows), seconds=dt,
-                  pairs_per_s=len(rows) / dt if dt > 0 else 0.0)
-    print(f"compared {len(rows)} pairs in {dt:.2f}s", file=sys.stderr)
+        n = engine.dist_tsv_write(f, index_a, index_b, tile=args.tile,
+                                  columns=cols, max_dist=args.max_dist,
+                                  max_p=args.max_p)
+    dt = time.perf_counter() - t0
+    _metrics.emit(args.metrics, phase="dist", pairs=n, seconds=dt,
+                  pairs_per_s=n / dt if dt > 0 else 0.0)
+    print(f"compared {n} pairs in {dt:.2f}s", file=sys.stderr)
     return 0
 
 

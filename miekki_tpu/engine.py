@@ -10,7 +10,6 @@ distance tables are therefore bitwise-reproducible across backends
 
 from __future__ import annotations
 
-import itertools
 from functools import partial
 from typing import Iterator, List, Optional, Sequence
 
@@ -230,35 +229,31 @@ def _pad_rows(idx: SketchIndex, tile: int):
     return hi, lo, n
 
 
-def dist_iter(
+def dist_tiles(
     index_a: SketchIndex,
     index_b: Optional[SketchIndex] = None,
     tile: int = DEFAULT_TILE,
     skip_tiles: Optional[set] = None,
-    on_tile_done=None,
-) -> Iterator[dict]:
-    """Pairwise comparison rows (self all-vs-all upper triangle when
-    index_b is None), computed tile-by-tile on device (SURVEY.md §3.2).
-
-    skip_tiles / on_tile_done implement manifest-based resume
-    (SURVEY.md §5 "Failure detection"): tiles listed in skip_tiles are not
-    recomputed; on_tile_done((bi, bj)) fires after each tile's rows are
-    yielded.
-    """
+):
+    """Tile-level comparison generator (SURVEY.md §3.2): yields
+    ``(bi, bj, gi, gj, shared, union, inter)`` per tile, where gi/gj are
+    int64 arrays of the valid global pair coordinates (upper triangle only
+    for self-comparison) in row-major order, and shared/union/inter are the
+    matching int count arrays.  This is the vectorized core under dist_iter
+    and the TSV writers — per-pair Python work at 10k-genome scale (50M
+    pairs) was the host wall (VERDICT r1 weak #3)."""
     self_compare = index_b is None
     if index_b is not None:
         index_a.params.validate_compatible(index_b.params)
     idx_b = index_a if self_compare else index_b
-    s, k = index_a.params.s, index_a.params.k
+    s = index_a.params.s
     tile = min(tile, max(len(index_a), len(idx_b), 1))
 
     a_hi, a_lo, n_a = _pad_rows(index_a, tile)
     b_hi, b_lo, n_b = _pad_rows(idx_b, tile)
     nb_a, nb_b = a_hi.shape[0] // tile, b_hi.shape[0] // tile
-    cards_a = index_a.cardinalities()
-    cards_b = cards_a if self_compare else idx_b.cardinalities()
-    sizes_a = index_a.sizes()
-    sizes_b = sizes_a if self_compare else idx_b.sizes()
+    ti_flat = np.repeat(np.arange(tile, dtype=np.int64), tile)
+    tj_flat = np.tile(np.arange(tile, dtype=np.int64), tile)
 
     for bi in range(nb_a):
         for bj in range(nb_b):
@@ -275,31 +270,63 @@ def dist_iter(
                 jnp.asarray(b_lo[bj * tile : (bj + 1) * tile]),
             )
             counts = _intersect.tile_counts(rows, cols, s)
-            shared = np.asarray(counts["shared_in_x"])
-            union = np.asarray(counts["union_size"])
-            inter = np.asarray(counts["inter_full"])
-            for ti, tj in itertools.product(range(tile), range(tile)):
-                gi, gj = bi * tile + ti, bj * tile + tj
-                if gi >= n_a or gj >= n_b:
-                    continue
-                if self_compare and gj <= gi:
-                    continue
-                row = _row_from_counts(int(shared[ti, tj]), int(union[ti, tj]),
-                                       k, cards_a[gi], cards_b[gj])
-                sz_q = int(sizes_a[gi])
-                sz_r = int(sizes_b[gj])
-                it = int(inter[ti, tj])
-                row["containment_q"] = it / sz_q if sz_q else 0.0
-                row["containment_r"] = it / sz_r if sz_r else 0.0
-                row["ani_containment"] = _oracle_compare.ani_from_containment(
-                    max(row["containment_q"], row["containment_r"]), k
-                )
-                row["query"] = index_a.names[gi]
-                row["reference"] = idx_b.names[gj]
-                row["i"], row["j"] = gi, gj
-                yield row
-            if on_tile_done is not None:
-                on_tile_done((bi, bj))
+            shared = np.asarray(counts["shared_in_x"]).ravel()
+            union = np.asarray(counts["union_size"]).ravel()
+            inter = np.asarray(counts["inter_full"]).ravel()
+            gi = bi * tile + ti_flat
+            gj = bj * tile + tj_flat
+            mask = (gi < n_a) & (gj < n_b)
+            if self_compare:
+                mask &= gj > gi
+            sel = np.flatnonzero(mask)
+            yield (bi, bj, gi[sel], gj[sel],
+                   shared[sel], union[sel], inter[sel])
+
+
+def dist_iter(
+    index_a: SketchIndex,
+    index_b: Optional[SketchIndex] = None,
+    tile: int = DEFAULT_TILE,
+    skip_tiles: Optional[set] = None,
+    on_tile_done=None,
+) -> Iterator[dict]:
+    """Pairwise comparison rows (self all-vs-all upper triangle when
+    index_b is None), computed tile-by-tile on device (SURVEY.md §3.2).
+
+    skip_tiles / on_tile_done implement manifest-based resume
+    (SURVEY.md §5 "Failure detection"): tiles listed in skip_tiles are not
+    recomputed; on_tile_done((bi, bj)) fires after each tile's rows are
+    yielded.  Row-level API — the TSV writers below use the vectorized
+    block path instead.
+    """
+    self_compare = index_b is None
+    idx_b = index_a if self_compare else index_b
+    k = index_a.params.k
+    cards_a = index_a.cardinalities()
+    cards_b = cards_a if self_compare else idx_b.cardinalities()
+    sizes_a = index_a.sizes()
+    sizes_b = sizes_a if self_compare else idx_b.sizes()
+
+    for bi, bj, gis, gjs, shs, uns, its in dist_tiles(
+        index_a, index_b, tile, skip_tiles
+    ):
+        for gi, gj, sh, un, it in zip(gis, gjs, shs, uns, its):
+            gi, gj, it = int(gi), int(gj), int(it)
+            row = _row_from_counts(int(sh), int(un), k,
+                                   cards_a[gi], cards_b[gj])
+            sz_q = int(sizes_a[gi])
+            sz_r = int(sizes_b[gj])
+            row["containment_q"] = it / sz_q if sz_q else 0.0
+            row["containment_r"] = it / sz_r if sz_r else 0.0
+            row["ani_containment"] = _oracle_compare.ani_from_containment(
+                max(row["containment_q"], row["containment_r"]), k
+            )
+            row["query"] = index_a.names[gi]
+            row["reference"] = idx_b.names[gj]
+            row["i"], row["j"] = gi, gj
+            yield row
+        if on_tile_done is not None:
+            on_tile_done((bi, bj))
 
 
 def dist(index_a: SketchIndex, index_b: Optional[SketchIndex] = None,
@@ -369,6 +396,254 @@ def filter_rows(rows, max_dist: Optional[float] = None,
     return out
 
 
+# ------------------------------------------------- vectorized TSV emission
+#
+# At 10k-genome scale a TSV has ~50M rows; per-row Python dicts + f-strings
+# are the host wall (VERDICT r1 weak #3).  The block path below computes the
+# float columns with the oracle's vectorized primitives (bitwise-identical
+# to the scalar row path — the scalars are wrappers over the same numpy
+# code) and exploits the low cardinality of the integer count combos: every
+# float column except p_value is a function of (shared, union) or
+# (inter, size), so each UNIQUE combo is formatted once and broadcast via
+# np.unique's inverse index.  Assembly is C-level np.char.add over U arrays.
+
+
+def _fmt_unique_floats(vals: np.ndarray) -> np.ndarray:
+    return np.asarray([f"{v:.10g}" for v in vals.tolist()], dtype=np.str_)
+
+
+def _fmt_unique_ints(vals: np.ndarray) -> np.ndarray:
+    return np.asarray([str(v) for v in vals.tolist()], dtype=np.str_)
+
+
+class _BlockFormatter:
+    """Per-pair TSV block formatter over count arrays (shared state: names,
+    cardinalities, sizes, params — prepared once per dist job)."""
+
+    def __init__(self, index_a: SketchIndex, index_b: Optional[SketchIndex],
+                 columns: Sequence[str] = TSV_COLUMNS,
+                 max_dist: Optional[float] = None,
+                 max_p: Optional[float] = None, conf: float = 0.95):
+        idx_b = index_a if index_b is None else index_b
+        self.k, self.s = index_a.params.k, index_a.params.s
+        self.columns = tuple(columns)
+        self.max_dist, self.max_p, self.conf = max_dist, max_p, conf
+        self.names_a = np.asarray(index_a.names, dtype=np.str_)
+        self.names_b = (self.names_a if index_b is None
+                        else np.asarray(idx_b.names, dtype=np.str_))
+        self.cards_a = np.asarray(index_a.cardinalities(), dtype=np.float64)
+        self.cards_b = (self.cards_a if index_b is None
+                        else np.asarray(idx_b.cardinalities(), np.float64))
+        self.sizes_a = np.asarray(index_a.sizes(), dtype=np.int64)
+        self.sizes_b = (self.sizes_a if index_b is None
+                        else np.asarray(idx_b.sizes(), dtype=np.int64))
+
+    def header(self) -> str:
+        return "#" + "\t".join(self.columns) + "\n"
+
+    def format(self, gi, gj, shared, union, inter) -> tuple[str, int]:
+        """One block of pairs → (TSV text without header, rows kept)."""
+        n = gi.shape[0]
+        if n == 0:
+            return "", 0
+        k, s = self.k, self.s
+        shared = shared.astype(np.int64)
+        union = union.astype(np.int64)
+        inter = inter.astype(np.int64)
+        m = np.int64(s + 1)
+
+        code_su, inv_su = np.unique(shared * m + union, return_inverse=True)
+        u_sh, u_un = code_su // m, code_su % m
+        u_j = np.where(u_un > 0, u_sh / np.where(u_un > 0, u_un, 1), 0.0)
+        u_d = _oracle_compare.mash_distance_vec(u_j, k)
+
+        need_p = "p_value" in self.columns or self.max_p is not None
+        if need_p:
+            p = _oracle_compare.chance_p_value_vec(
+                shared, union, self.cards_a[gi], self.cards_b[gj], k
+            )
+
+        keep = None
+        if self.max_dist is not None:
+            keep = u_d[inv_su] <= self.max_dist
+        if self.max_p is not None:
+            kp = p <= self.max_p
+            keep = kp if keep is None else keep & kp
+        if keep is not None and not keep.all():
+            sel = np.flatnonzero(keep)
+            gi, gj, shared, union, inter, inv_su = (
+                x[sel] for x in (gi, gj, shared, union, inter, inv_su))
+            if need_p:
+                p = p[sel]
+            n = gi.shape[0]
+            if n == 0:
+                return "", 0
+
+        cols_cache: dict = {}
+
+        def col(c: str) -> np.ndarray:
+            if c == "query":
+                return self.names_a[gi]
+            if c == "reference":
+                return self.names_b[gj]
+            if c == "shared":
+                return _fmt_unique_ints(u_sh)[inv_su]
+            if c == "union":
+                return _fmt_unique_ints(u_un)[inv_su]
+            if c == "jaccard":
+                return _fmt_unique_floats(u_j)[inv_su]
+            if c == "mash_distance":
+                return _fmt_unique_floats(u_d)[inv_su]
+            if c == "ani":
+                return _fmt_unique_floats(
+                    _oracle_compare.ani_from_distance_vec(u_d))[inv_su]
+            if c == "p_value":
+                out = np.full(n, "1", dtype="U26")
+                pos = np.flatnonzero(shared > 0)
+                if pos.size:
+                    out[pos] = [f"{v:.10g}" for v in p[pos].tolist()]
+                return out
+            if c in ("containment_q", "containment_r"):
+                sz = (self.sizes_a[gi] if c.endswith("q")
+                      else self.sizes_b[gj])
+                cu, ci = np.unique(inter * m + sz, return_inverse=True)
+                it_u, sz_u = cu // m, cu % m
+                cv = np.where(sz_u > 0,
+                              it_u / np.where(sz_u > 0, sz_u, 1), 0.0)
+                return _fmt_unique_floats(cv)[ci]
+            if c == "ani_containment":
+                code3, ci = np.unique(
+                    (inter * m + self.sizes_a[gi]) * m + self.sizes_b[gj],
+                    return_inverse=True)
+                szr_u = code3 % m
+                it_u, szq_u = (code3 // m) // m, (code3 // m) % m
+                cq = np.where(szq_u > 0,
+                              it_u / np.where(szq_u > 0, szq_u, 1), 0.0)
+                cr = np.where(szr_u > 0,
+                              it_u / np.where(szr_u > 0, szr_u, 1), 0.0)
+                av = _oracle_compare.ani_from_containment_vec(
+                    np.maximum(cq, cr), k)
+                return _fmt_unique_floats(av)[ci]
+            if c in ("jaccard_lo", "jaccard_hi", "dist_lo", "dist_hi"):
+                if "bounds" not in cols_cache:
+                    jlo, jhi = _oracle_compare.jaccard_ci_vec(
+                        u_sh, u_un, self.conf)
+                    cols_cache["bounds"] = {
+                        "jaccard_lo": _fmt_unique_floats(jlo),
+                        "jaccard_hi": _fmt_unique_floats(jhi),
+                        "dist_lo": _fmt_unique_floats(
+                            _oracle_compare.mash_distance_vec(jhi, k)),
+                        "dist_hi": _fmt_unique_floats(
+                            _oracle_compare.mash_distance_vec(jlo, k)),
+                    }
+                return cols_cache["bounds"][c][inv_su]
+            raise KeyError(f"unknown TSV column {c!r}")
+
+        parts = col(self.columns[0])
+        for c in self.columns[1:]:
+            parts = np.char.add(np.char.add(parts, "\t"), col(c))
+        return "\n".join(parts.tolist()) + "\n", n
+
+
+def dist_tsv_write(
+    out,
+    index_a: SketchIndex,
+    index_b: Optional[SketchIndex] = None,
+    tile: int = DEFAULT_TILE,
+    columns: Sequence[str] = TSV_COLUMNS,
+    max_dist: Optional[float] = None,
+    max_p: Optional[float] = None,
+    bounds: bool = False,
+    skip_tiles: Optional[set] = None,
+    on_tile_done=None,
+    write_header: bool = True,
+) -> int:
+    """Stream the dist TSV to a file object via the vectorized block path.
+    Row order/content identical to rows_to_tsv(dist(...)).  Returns rows
+    written."""
+    if bounds and len(columns) == len(TSV_COLUMNS):
+        columns = tuple(columns) + BOUNDS_COLUMNS[len(TSV_COLUMNS):]
+    fmt = _BlockFormatter(index_a, index_b, columns, max_dist, max_p)
+    if write_header:
+        out.write(fmt.header())
+    n_rows = 0
+    if on_tile_done is None and skip_tiles is None:
+        # No resume granularity needed: buffer each row-block stripe and
+        # emit it (gi, gj)-sorted, so the full output is in global (i, j)
+        # order — matching rows_to_tsv(dist(...)).
+        stripe_bi = None
+        stripe: List[tuple] = []
+
+        def flush():
+            nonlocal n_rows
+            if not stripe:
+                return
+            gi, gj, sh, un, it = (np.concatenate(x) for x in zip(*stripe))
+            order = np.lexsort((gj, gi))
+            text, n = fmt.format(gi[order], gj[order], sh[order], un[order],
+                                 it[order])
+            out.write(text)
+            n_rows += n
+            stripe.clear()
+
+        for bi, bj, gi, gj, sh, un, it in dist_tiles(index_a, index_b, tile):
+            if bi != stripe_bi:
+                flush()
+                stripe_bi = bi
+            stripe.append((gi, gj, sh, un, it))
+        flush()
+        return n_rows
+    for bi, bj, gi, gj, sh, un, it in dist_tiles(
+        index_a, index_b, tile, skip_tiles
+    ):
+        text, n = fmt.format(gi, gj, sh, un, it)
+        out.write(text)
+        n_rows += n
+        if on_tile_done is not None:
+            on_tile_done((bi, bj))
+    return n_rows
+
+
+def counts_tsv_write(
+    out,
+    index_a: SketchIndex,
+    shared: np.ndarray,
+    union: np.ndarray,
+    index_b: Optional[SketchIndex] = None,
+    inter: Optional[np.ndarray] = None,
+    columns: Sequence[str] = TSV_COLUMNS,
+    max_dist: Optional[float] = None,
+    max_p: Optional[float] = None,
+    row_chunk: int = 256,
+) -> int:
+    """TSV from full [N_a, N_b] count matrices (the parallel.dist_sharded
+    output) via the block path — same rows as
+    rows_to_tsv(rows_from_count_matrices(...)); processed in row chunks to
+    bound peak memory at pod scale."""
+    self_compare = index_b is None
+    idx_b = index_a if self_compare else index_b
+    n_a, n_b = len(index_a), len(idx_b)
+    if inter is None:
+        inter = np.zeros_like(np.asarray(shared))
+    fmt = _BlockFormatter(index_a, index_b, columns, max_dist, max_p)
+    out.write(fmt.header())
+    n_rows = 0
+    for r0 in range(0, n_a, row_chunk):
+        r1 = min(r0 + row_chunk, n_a)
+        gi = np.repeat(np.arange(r0, r1, dtype=np.int64), n_b)
+        gj = np.tile(np.arange(n_b, dtype=np.int64), r1 - r0)
+        if self_compare:
+            sel = np.flatnonzero(gj > gi)
+            gi, gj = gi[sel], gj[sel]
+        sh = np.asarray(shared)[gi, gj]
+        un = np.asarray(union)[gi, gj]
+        it = np.asarray(inter)[gi, gj]
+        text, n = fmt.format(gi, gj, sh, un, it)
+        out.write(text)
+        n_rows += n
+    return n_rows
+
+
 def dist_resumable(
     index_a: SketchIndex,
     out_path,
@@ -404,38 +679,20 @@ def dist_resumable(
                     rec = _json.loads(line)
                     done.add((rec["bi"], rec["bj"]))
     fresh = not done
-    n_rows = 0
     with open(out_path, "w" if fresh else "a") as out, open(
         manifest_path, "w" if fresh else "a"
     ) as mf:
-        if fresh:
-            out.write("#" + "\t".join(columns) + "\n")
-
-        pending: List[dict] = []
 
         def on_tile_done(tile_coord):
-            nonlocal n_rows
-            if max_dist is not None or max_p is not None:
-                pending[:] = filter_rows(pending, max_dist, max_p)
-            if bounds:
-                add_bound_columns(pending, index_a.params.k)
-            for r in pending:
-                cells = [
-                    f"{r[c]:.10g}" if isinstance(r[c], float) else str(r[c])
-                    for c in columns
-                ]
-                out.write("\t".join(cells) + "\n")
-            n_rows += len(pending)
-            pending.clear()
             out.flush()
             mf.write(_json.dumps({"bi": tile_coord[0], "bj": tile_coord[1]}) + "\n")
             mf.flush()
 
-        for row in dist_iter(
-            index_a, index_b, tile, skip_tiles=done, on_tile_done=on_tile_done
-        ):
-            pending.append(row)
-    return n_rows
+        return dist_tsv_write(
+            out, index_a, index_b, tile=tile, columns=columns,
+            max_dist=max_dist, max_p=max_p, bounds=bounds,
+            skip_tiles=done, on_tile_done=on_tile_done, write_header=fresh,
+        )
 
 
 # ---------------------------------------------------------------- screening
@@ -675,15 +932,25 @@ def screen(
 
 def dist_matrix_text(index: SketchIndex, tile: int = DEFAULT_TILE) -> str:
     """Phylip-style square Mash-distance matrix (the `mash dist -t` /
-    `mash triangle` analog)."""
+    `mash triangle` analog).  Vectorized: distances are computed per unique
+    (shared, union) combo and formatted once per unique value."""
     n = len(index)
+    k, s = index.params.k, index.params.s
     mat = np.zeros((n, n), dtype=np.float64)
-    for r in dist_iter(index, tile=tile):
-        mat[r["i"], r["j"]] = mat[r["j"], r["i"]] = r["mash_distance"]
+    m = np.int64(s + 1)
+    for _, _, gi, gj, sh, un, _ in dist_tiles(index, tile=tile):
+        code, inv = np.unique(sh.astype(np.int64) * m + un, return_inverse=True)
+        u_j = np.where(code % m > 0,
+                       (code // m) / np.where(code % m > 0, code % m, 1), 0.0)
+        d = _oracle_compare.mash_distance_vec(u_j, k)[inv]
+        mat[gi, gj] = d
+        mat[gj, gi] = d
+    u_vals, inv = np.unique(mat, return_inverse=True)
+    u_strs = _fmt_unique_floats(u_vals)
     lines = [f"\t{n}"]
+    inv = inv.reshape(n, n)
     for i in range(n):
-        cells = "\t".join(f"{mat[i, j]:.10g}" for j in range(n))
-        lines.append(f"{index.names[i]}\t{cells}")
+        lines.append(index.names[i] + "\t" + "\t".join(u_strs[inv[i]].tolist()))
     return "\n".join(lines) + "\n"
 
 

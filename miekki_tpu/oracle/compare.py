@@ -44,18 +44,27 @@ def mash_jaccard(a: np.ndarray, b: np.ndarray, s: int):
     return shared, len(x), shared / len(x)
 
 
+def mash_distance_vec(j: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized Mash distance (Mash paper Eq. 4) — the primitive behind
+    mash_distance; float64 in/out, same clamps as the scalar contract."""
+    j = np.asarray(j, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = -np.log(2.0 * j / (1.0 + j)) / k
+    d = np.clip(d, 0.0, 1.0)
+    return np.where(j <= 0.0, 1.0, np.where(j >= 1.0, 0.0, d))
+
+
 def mash_distance(j: float, k: int) -> float:
     """Mash distance from a Jaccard estimate (Mash paper Eq. 4)."""
-    if j <= 0.0:
-        return 1.0
-    if j >= 1.0:
-        return 0.0
-    d = -math.log(2.0 * j / (1.0 + j)) / k
-    return min(max(d, 0.0), 1.0)
+    return float(mash_distance_vec(np.float64(j), k))
+
+
+def ani_from_distance_vec(d: np.ndarray) -> np.ndarray:
+    return np.clip(1.0 - np.asarray(d, dtype=np.float64), 0.0, 1.0)
 
 
 def ani_from_distance(d: float) -> float:
-    return min(max(1.0 - d, 0.0), 1.0)
+    return float(ani_from_distance_vec(np.float64(d)))
 
 
 def containment(query_sketch: np.ndarray, target_hashes: np.ndarray) -> float:
@@ -69,11 +78,46 @@ def containment(query_sketch: np.ndarray, target_hashes: np.ndarray) -> float:
     return shared / len(q)
 
 
+def ani_from_containment_vec(c: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized containment → ANI (1 + ln(c)/k, clamped)."""
+    c = np.asarray(c, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        a = np.clip(1.0 + np.log(c) / k, 0.0, 1.0)
+    return np.where(c <= 0.0, 0.0, a)
+
+
 def ani_from_containment(c: float, k: int) -> float:
     """ANI estimate from containment: 1 + ln(c)/k, clamped (SURVEY.md §2.1)."""
-    if c <= 0.0:
-        return 0.0
-    return min(max(1.0 + math.log(c) / k, 0.0), 1.0)
+    return float(ani_from_containment_vec(np.float64(c), k))
+
+
+def chance_p_value_vec(shared, union, n1, n2, k: int) -> np.ndarray:
+    """Vectorized chance_p_value — same null model and clamps, elementwise
+    identical to the scalar wrapper (the scalar delegates here)."""
+    shared = np.asarray(shared, dtype=np.float64)
+    union = np.asarray(union, dtype=np.float64)
+    n1 = np.asarray(n1, dtype=np.float64)
+    n2 = np.asarray(n2, dtype=np.float64)
+    shape = np.broadcast_shapes(shared.shape, union.shape, n1.shape, n2.shape)
+    shared, union, n1, n2 = (np.broadcast_to(x, shape).ravel()
+                             for x in (shared, union, n1, n2))
+    space = 4.0 ** min(k, 200)
+    m = (n1 * n2) / space
+    denom = n1 + n2 - m
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.where(denom <= 0, 0.0, np.clip(m / np.where(denom <= 0, 1.0, denom),
+                                              0.0, 1.0))
+    sh = np.minimum(shared, union)
+    out = np.ones(shared.shape, dtype=np.float64)
+    live = shared > 0  # shared <= 0 → 1.0
+    out[live & (q <= 0.0)] = 0.0
+    # q >= 1 → 1.0 (already there)
+    cf = live & (q > 0.0) & (q < 1.0)
+    if np.any(cf):
+        out[cf] = np.clip(
+            betainc_vec(sh[cf], union[cf] - sh[cf] + 1.0, q[cf]), 0.0, 1.0
+        )
+    return out.reshape(shape)
 
 
 def chance_p_value(shared: int, union: int, n1: float, n2: float, k: int) -> float:
@@ -92,93 +136,126 @@ def chance_p_value(shared: int, union: int, n1: float, n2: float, k: int) -> flo
     summation was O(shared) host-side Python per pair, a hidden wall at
     10k-genome scale; ADVICE r1).
     """
-    if shared <= 0:
-        return 1.0
-    space = 4.0 ** min(k, 200)
-    m = (n1 * n2) / space
-    denom = n1 + n2 - m
-    q = 0.0 if denom <= 0 else min(max(m / denom, 0.0), 1.0)
-    if q <= 0.0:
-        return 0.0 if shared > 0 else 1.0
-    if q >= 1.0:
-        return 1.0
-    shared = min(shared, union)
-    return min(max(_betainc(float(shared), float(union - shared + 1), q), 0.0), 1.0)
+    return float(chance_p_value_vec(shared, union, n1, n2, k))
 
 
-def _betainc(a: float, b: float, x: float) -> float:
-    """Regularized incomplete beta I_x(a, b) via the standard Lentz
-    continued fraction (Numerical Recipes 6.4 formulation; |rel err| ~1e-14
-    — cross-checked against exact binomial summation in tests)."""
-    if x <= 0.0:
-        return 0.0
-    if x >= 1.0:
-        return 1.0
-    ln_front = (math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
-                + a * math.log(x) + b * math.log1p(-x))
-    front = math.exp(ln_front)
-    if x < (a + 1.0) / (a + b + 2.0):
-        return front * _betacf(a, b, x) / a
-    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+def betainc_vec(a: np.ndarray, b: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Regularized incomplete beta I_x(a, b), elementwise, via the standard
+    Lentz continued fraction (Numerical Recipes 6.4 formulation; |rel err|
+    ~1e-14 — cross-checked against exact binomial summation in tests).
+
+    Vectorized with per-element convergence freezing, so each element's
+    iterate sequence matches a scalar early-breaking loop exactly."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    shape = np.broadcast_shapes(a.shape, b.shape, x.shape)
+    a, b, x = (np.broadcast_to(v, shape).ravel().copy() for v in (a, b, x))
+    out = np.empty(a.shape, dtype=np.float64)
+    out[x <= 0.0] = 0.0
+    out[x >= 1.0] = 1.0
+    mid = (x > 0.0) & (x < 1.0)
+    if np.any(mid):
+        out[mid] = _betainc_mid(a[mid], b[mid], x[mid])
+    return out.reshape(shape)
 
 
-def _betacf(a: float, b: float, x: float) -> float:
-    """Continued fraction for the incomplete beta (modified Lentz)."""
+def _betainc_mid(a, b, x):
+    from scipy.special import gammaln as _lgamma_vec  # C-loop lgamma
+    ln_front = (_lgamma_vec(a + b) - _lgamma_vec(a) - _lgamma_vec(b)
+                + a * np.log(x) + b * np.log1p(-x))
+    front = np.exp(ln_front)
+    direct = x < (a + 1.0) / (a + b + 2.0)
+    out = np.empty(a.shape, dtype=np.float64)
+    if np.any(direct):
+        sel = direct
+        out[sel] = front[sel] * _betacf_vec(a[sel], b[sel], x[sel]) / a[sel]
+    if np.any(~direct):
+        sel = ~direct
+        out[sel] = 1.0 - front[sel] * _betacf_vec(b[sel], a[sel],
+                                                  1.0 - x[sel]) / b[sel]
+    return out
+
+
+def _betacf_vec(a, b, x):
+    """Continued fraction for the incomplete beta (modified Lentz),
+    vectorized with convergence freezing per element."""
     tiny = 1e-300
     qab, qap, qam = a + b, a + 1.0, a - 1.0
-    c = 1.0
+    c = np.ones(a.shape, dtype=np.float64)
     d = 1.0 - qab * x / qap
-    if abs(d) < tiny:
-        d = tiny
+    d = np.where(np.abs(d) < tiny, tiny, d)
     d = 1.0 / d
-    h = d
+    h = d.copy()
+    active = np.ones(a.shape, dtype=bool)
     for m in range(1, 300):
         m2 = 2 * m
         aa = m * (b - m) * x / ((qam + m2) * (a + m2))
-        d = 1.0 + aa * d
-        if abs(d) < tiny:
-            d = tiny
-        c = 1.0 + aa / c
-        if abs(c) < tiny:
-            c = tiny
-        d = 1.0 / d
-        h *= d * c
+        dn = 1.0 + aa * d
+        dn = np.where(np.abs(dn) < tiny, tiny, dn)
+        cn = 1.0 + aa / c
+        cn = np.where(np.abs(cn) < tiny, tiny, cn)
+        dn = 1.0 / dn
+        hn = h * dn * cn
         aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
-        d = 1.0 + aa * d
-        if abs(d) < tiny:
-            d = tiny
-        c = 1.0 + aa / c
-        if abs(c) < tiny:
-            c = tiny
-        d = 1.0 / d
-        delta = d * c
-        h *= delta
-        if abs(delta - 1.0) < 1e-15:
+        d2 = 1.0 + aa * dn
+        d2 = np.where(np.abs(d2) < tiny, tiny, d2)
+        c2 = 1.0 + aa / cn
+        c2 = np.where(np.abs(c2) < tiny, tiny, c2)
+        d2 = 1.0 / d2
+        delta = d2 * c2
+        h2 = hn * delta
+        # freeze converged elements (exact scalar early-break semantics)
+        h = np.where(active, h2, h)
+        d = np.where(active, d2, d)
+        c = np.where(active, c2, c)
+        active = active & (np.abs(delta - 1.0) >= 1e-15)
+        if not np.any(active):
             break
     return h
 
 
-def jaccard_ci(shared: int, union: int, conf: float = 0.95):
-    """Wilson score interval for the Jaccard estimate (the `mash bounds`
-    analog): treats shared ~ Binomial(union, j).  Returns (lo, hi)."""
-    if union <= 0:
-        return 0.0, 1.0
-    # z for the two-sided confidence level via the probit of (1+conf)/2
-    # (Acklam rational approximation — scipy-free, |eps| < 1.2e-9)
+def _betainc(a: float, b: float, x: float) -> float:
+    """Scalar wrapper over betainc_vec (kept for tests / call sites)."""
+    return float(betainc_vec(np.float64(a), np.float64(b), np.float64(x)))
+
+
+def jaccard_ci_vec(shared, union, conf: float = 0.95):
+    """Vectorized Wilson score interval — the primitive behind jaccard_ci.
+    Returns (lo, hi) float64 arrays; union <= 0 → (0, 1)."""
+    shared = np.asarray(shared, dtype=np.float64)
+    union = np.asarray(union, dtype=np.float64)
     z = _probit(0.5 + conf / 2.0)
-    n = float(union)
+    n = np.where(union <= 0, 1.0, union)
     p = shared / n
     denom = 1.0 + z * z / n
     center = (p + z * z / (2 * n)) / denom
-    half = (z / denom) * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
-    return max(0.0, center - half), min(1.0, center + half)
+    half = (z / denom) * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    lo = np.maximum(0.0, center - half)
+    hi = np.minimum(1.0, center + half)
+    bad = union <= 0
+    return np.where(bad, 0.0, lo), np.where(bad, 1.0, hi)
+
+
+def jaccard_ci(shared: int, union: int, conf: float = 0.95):
+    """Wilson score interval for the Jaccard estimate (the `mash bounds`
+    analog): treats shared ~ Binomial(union, j).  Returns (lo, hi).  The z
+    quantile uses the Acklam probit approximation (|eps| < 1.2e-9)."""
+    lo, hi = jaccard_ci_vec(np.float64(shared), np.float64(union), conf)
+    return float(lo), float(hi)
+
+
+def distance_ci_vec(shared, union, k: int, conf: float = 0.95):
+    """Vectorized Mash-distance interval (d decreasing in j → bounds swap)."""
+    j_lo, j_hi = jaccard_ci_vec(shared, union, conf)
+    return mash_distance_vec(j_hi, k), mash_distance_vec(j_lo, k)
 
 
 def distance_ci(shared: int, union: int, k: int, conf: float = 0.95):
     """Mash-distance interval from the Jaccard interval (d is decreasing in
     j, so the bounds swap)."""
-    j_lo, j_hi = jaccard_ci(shared, union, conf)
-    return mash_distance(j_hi, k), mash_distance(j_lo, k)
+    lo, hi = distance_ci_vec(np.float64(shared), np.float64(union), k, conf)
+    return float(lo), float(hi)
 
 
 def _probit(p: float) -> float:

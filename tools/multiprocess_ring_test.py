@@ -70,11 +70,11 @@ def worker(process_id: int) -> int:
             partial(_ring_counts_local, s=s, axis=DB_AXIS),
             mesh=mesh,
             in_specs=(P(DB_AXIS, None), P(DB_AXIS, None)),
-            out_specs=(P(None, DB_AXIS, None), P(None, DB_AXIS, None)),
+            out_specs=(P(None, DB_AXIS, None),) * 3,
             check_vma=False,
         )
     )
-    shared, union = fn(hi, lo)
+    shared, union, inter = fn(hi, lo)
 
     # reference: local numpy intersection counts for the addressable slice
     nl = n // D
