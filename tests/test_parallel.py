@@ -140,3 +140,29 @@ def test_ring_random_sizes_and_meshes(n_genomes, mesh_shape, tmp_path):
     for r in rows:
         assert int(counts["shared"][r["i"], r["j"]]) == r["shared"]
         assert int(counts["union"][r["i"], r["j"]]) == r["union"]
+
+
+def test_rect_ring_does_na_x_nb_tile_work(small_index, monkeypatch):
+    """VERDICT r1 item 7: dist_sharded(a, b) must do n_a x n_b tile work —
+    the local tile is [n_a/D, n_b/D] (no (A+B)² square embedding).  Assert
+    via the tile shapes recorded at trace time."""
+    from miekki_tpu.ops import intersect as _intersect
+
+    shapes = []
+    orig = _intersect.tile_counts
+
+    def spy(rows, cols, s, impl=None):
+        shapes.append((int(rows[0].shape[0]), int(cols[0].shape[0])))
+        return orig(rows, cols, s, impl=impl)
+
+    monkeypatch.setattr(_intersect, "tile_counts", spy)
+    mesh = local_mesh(axis_names=(DB_AXIS,))
+    a = SketchIndex(small_index.params, small_index.names[:6],
+                    small_index.hi[:6], small_index.lo[:6])
+    counts = dist_sharded(a, mesh, index_b=small_index)  # 6 x 10 → pad 8 x 16
+    assert shapes == [(1, 2)]  # one traced tile: [n_a_pad/D, n_b_pad/D]
+    rows = engine.dist(a, small_index)
+    for r in rows:
+        assert int(counts["shared"][r["i"], r["j"]]) == r["shared"]
+        assert int(counts["union"][r["i"], r["j"]]) == r["union"]
+        assert int(counts["inter"][r["i"], r["j"]]) >= r["shared"]
