@@ -68,9 +68,11 @@ def cmd_sketch(args) -> int:
     t0 = time.perf_counter()
     if args.per_record:
         index = engine.build_index_per_record(args.genomes, params,
-                                              chunk=args.chunk)
+                                              chunk=args.chunk,
+                                              min_copies=args.min_copies)
     else:
-        index = engine.build_index(args.genomes, params, chunk=args.chunk)
+        index = engine.build_index(args.genomes, params, chunk=args.chunk,
+                                   min_copies=args.min_copies)
     dt = time.perf_counter() - t0
     if args.shards > 1:
         paths = index.save_sharded(args.output.removesuffix(".npz"), args.shards)
@@ -174,21 +176,24 @@ def cmd_dist(args) -> int:
 def cmd_screen(args) -> int:
     index = SketchIndex.load(args.db)
     t0 = time.perf_counter()
+    stats: dict = {}
     if args.distributed:
         from .parallel import local_mesh, screen_sharded
         from .parallel.mesh import DATA_AXIS
 
         rows = screen_sharded(index, args.reads,
                               local_mesh(axis_names=(DATA_AXIS,)),
-                              flat=args.flat)
+                              flat=args.flat, winner=args.winner, stats=stats)
     else:
-        rows = engine.screen(index, args.reads, flat=args.flat)
+        rows = engine.screen(index, args.reads, flat=args.flat,
+                             winner=args.winner, stats=stats)
     dt = time.perf_counter() - t0
     cols = ("reference", "hits", "sketch_size", "containment",
             "containment_lo", "containment_hi", "ani")
     with _out(args) as f:
         f.write(engine.rows_to_tsv(rows, columns=cols))
-    _metrics.emit(args.metrics, phase="screen", genomes=len(rows), seconds=dt)
+    _metrics.emit(args.metrics, phase="screen", genomes=len(rows), seconds=dt,
+                  **stats)
     print(f"screened reads against {len(rows)} genomes in {dt:.2f}s",
           file=sys.stderr)
     return 0
@@ -258,6 +263,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--per-record", action="store_true",
                    help="sketch each FASTA/FASTQ record separately "
                    "(mash sketch -i analog)")
+    p.add_argument("-m", "--min-copies", type=int, default=1,
+                   help="keep only k-mers occurring at least this many times "
+                   "— drops sequencing-error k-mers in read sets "
+                   "(mash sketch -m analog)")
     _add_common(p)
     p.set_defaults(fn=cmd_sketch)
 
@@ -303,6 +312,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--distributed", action="store_true",
                    help="stream read batches data-parallel across all "
                    "visible devices (pmax bitmap merge)")
+    p.add_argument("-w", "--winner", action="store_true",
+                   help="winner-takes-all: credit each distinct hit hash to "
+                   "only its best-containment genome (mash screen -w analog)")
     _add_common(p)
     p.set_defaults(fn=cmd_screen)
 

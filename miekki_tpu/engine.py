@@ -116,7 +116,7 @@ def _sketch_batch_jit(rows3d: jax.Array, k: int, s: int, strategy: str,
 
 def build_index_per_record(
     paths: Sequence, params: SketchParams, chunk: int = DEFAULT_CHUNK,
-    batch: int = MAX_GENOME_BATCH,
+    batch: int = MAX_GENOME_BATCH, min_copies: int = 1,
 ) -> SketchIndex:
     """Sketch every RECORD of the input files as its own entry (the
     `mash sketch -i` mode — one sketch per contig/sequence)."""
@@ -126,12 +126,14 @@ def build_index_per_record(
         for rec_name, codes in _reader.read_encoded(p):
             names.append(rec_name or f"{p}:{len(names)}")
             codes_list.append(codes)
-    return _build_index_from_codes(codes_list, names, params, chunk, batch)
+    return _build_index_from_codes(codes_list, names, params, chunk, batch,
+                                   min_copies)
 
 
 def build_index(
     paths: Sequence, params: SketchParams, names: Optional[Sequence[str]] = None,
     chunk: int = DEFAULT_CHUNK, batch: int = MAX_GENOME_BATCH,
+    min_copies: int = 1,
 ) -> SketchIndex:
     """Sketch many genome files into an index (one genome per file).
 
@@ -161,14 +163,28 @@ def build_index(
             _encode.pack_records(_reader.read_genome_codes(p), params.k)
             for p in paths
         ]
-    return _build_index_from_codes(codes_list, list(names), params, chunk, batch)
+    return _build_index_from_codes(codes_list, list(names), params, chunk,
+                                   batch, min_copies)
 
 
 def _build_index_from_codes(
     codes_list: Sequence[np.ndarray], names: List[str], params: SketchParams,
-    chunk: int, batch: int,
+    chunk: int, batch: int, min_copies: int = 1,
 ) -> SketchIndex:
     k, s = params.k, params.s
+    if min_copies > 1:
+        # abundance-filtered path (`mash sketch -m` analog): per-genome
+        # counted sketcher; no vmap batching — the counted buffer retry
+        # loop is data-dependent per input (ops/sketch_counted.py)
+        from .ops import sketch_counted as _counted
+
+        sketches = [
+            np.zeros(0, dtype=np.uint64) if len(c) < k
+            else _counted.sketch_codes_device_counted(
+                c, k, s, min_copies, chunk=chunk)
+            for c in codes_list
+        ]
+        return SketchIndex.from_sketches(sketches, names, params)
     if batch <= 1:
         sketches = [
             np.zeros(0, dtype=np.uint64) if len(c) < k
@@ -733,11 +749,16 @@ def _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes, k: int):
     inside shard_map).
 
     acc: bool[M + 1] — hit bitmap over the value-sorted flat DB (last slot
-    is a scratch sink for non-matches).  Returns the updated bitmap.
+    is a scratch sink for non-matches).  Returns (updated bitmap,
+    n_windows int32 — valid k-mer windows in the batch, n_survivors int32 —
+    windows that passed the threshold prefilter); the counts feed the
+    --metrics survivor-rate observability (VERDICT r1 weak #5: prefilter
+    selectivity degrades with DB size and must be visible).
     """
     m_db = db_hi.shape[0]
     h, _ = _hash.hash_windows(flat_codes, k)
     n = h[0].shape[0]
+    n_valid = jnp.sum((~u64.is_inf(h)).astype(jnp.int32))
     keep = ~u64.less((thr_hi, thr_lo), h)  # h <= thr; INF never kept
     n_keep = jnp.sum(keep.astype(jnp.int32))
     # Stable partition survivors to the front (sort by position-keyed int32;
@@ -776,7 +797,7 @@ def _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes, k: int):
         return state[0] < n_keep
 
     _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc))
-    return acc
+    return acc, n_valid, n_keep
 
 
 @partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
@@ -872,6 +893,36 @@ def _hits_from_bitmap(flat_vals: np.ndarray, gid: np.ndarray,
     return np.bincount(gid[hit_all], minlength=n_genomes).astype(np.int64)
 
 
+def _hits_winner_takes_all(flat_vals: np.ndarray, gid: np.ndarray,
+                           acc: np.ndarray, n_genomes: int,
+                           sizes: Optional[np.ndarray] = None) -> np.ndarray:
+    """Winner-takes-all hit attribution (the `mash screen -w` analog):
+    each DISTINCT hit hash value is credited to exactly one genome — the
+    genome with the highest plain containment among those whose sketch
+    contains the value (ties → lower genome index), so shared hashes don't
+    inflate every containing genome at once (Mash-family convention [K];
+    reference source unavailable, SURVEY.md §0).
+
+    sizes: per-genome sketch sizes — ranking is by containment hits/size
+    (falls back to raw hit counts when omitted; identical when all sketches
+    are full at s)."""
+    if len(flat_vals) == 0:
+        return np.zeros(n_genomes, np.int64)
+    plain = _hits_from_bitmap(flat_vals, gid, acc, n_genomes)
+    score = (plain / np.maximum(sizes, 1) if sizes is not None
+             else plain.astype(np.float64))
+    # rank genomes: better containment → smaller rank (ties → lower index)
+    order = np.lexsort((np.arange(n_genomes), -score))
+    rank = np.empty(n_genomes, np.int64)
+    rank[order] = np.arange(n_genomes)
+    # equal-value runs in the sorted flat DB; run is hit iff its first slot is
+    starts = np.flatnonzero(
+        np.concatenate([[True], flat_vals[1:] != flat_vals[:-1]]))
+    run_min_rank = np.minimum.reduceat(rank[gid], starts)
+    winners = order[run_min_rank[acc[:-1][starts]]]
+    return np.bincount(winners, minlength=n_genomes).astype(np.int64)
+
+
 def _screen_rows(index: SketchIndex, hits: np.ndarray) -> List[dict]:
     sizes = index.sizes()
     k = index.params.k
@@ -902,12 +953,17 @@ def _as_path_list(reads_path) -> List:
 
 
 def screen(
-    index: SketchIndex, reads_path, flat: int = DEFAULT_READ_FLAT
+    index: SketchIndex, reads_path, flat: int = DEFAULT_READ_FLAT,
+    winner: bool = False, stats: Optional[dict] = None,
 ) -> List[dict]:
     """Containment of each DB genome's sketch in the read stream
     (SURVEY.md §3.3): c_g = |S(g) ∩ H(reads)| / |S(g)|.
 
-    reads_path may be one file or a list of files (hits union across all)."""
+    reads_path may be one file or a list of files (hits union across all).
+    winner=True switches to winner-takes-all hit attribution (`mash screen
+    -w` analog).  When `stats` is a dict, prefilter observability is
+    written into it: n_windows, n_survivors, survivor_rate, n_batches.
+    """
     k = index.params.k
     flat_vals, gid = _flatten_db(index)
     if len(flat_vals) == 0:
@@ -919,11 +975,25 @@ def screen(
     thr_hi = jnp.uint32(int(thr >> np.uint64(32)))
     thr_lo = jnp.uint32(int(thr & np.uint64(0xFFFFFFFF)))
     acc = jnp.zeros(len(flat_vals) + 1, dtype=jnp.bool_)
+    counters = []  # device scalars; synced once at the end (tunnel-friendly)
     for path in _as_path_list(reads_path):
         for batch in _packed_read_batches(path, k, flat):
-            acc = _screen_update(acc, db_hi, db_lo, thr_hi, thr_lo,
-                                 jnp.asarray(batch), k)
-    hits = _hits_from_bitmap(flat_vals, gid, np.asarray(acc), len(index))
+            acc, n_valid, n_keep = _screen_update(
+                acc, db_hi, db_lo, thr_hi, thr_lo, jnp.asarray(batch), k)
+            counters.append((n_valid, n_keep))
+    if stats is not None:
+        tot_windows = sum(int(v) for v, _ in counters)
+        tot_surv = sum(int(s_) for _, s_ in counters)
+        stats.update(
+            n_windows=tot_windows, n_survivors=tot_surv,
+            n_batches=len(counters),
+            survivor_rate=tot_surv / tot_windows if tot_windows else 0.0,
+        )
+    if winner:
+        hits = _hits_winner_takes_all(flat_vals, gid, np.asarray(acc),
+                                      len(index), np.asarray(index.sizes()))
+    else:
+        hits = _hits_from_bitmap(flat_vals, gid, np.asarray(acc), len(index))
     return _screen_rows(index, hits)
 
 

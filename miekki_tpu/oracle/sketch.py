@@ -22,6 +22,17 @@ def bottom_s(hashes: np.ndarray, s: int) -> np.ndarray:
     return distinct[:s]
 
 
+def bottom_s_min_copies(hashes: np.ndarray, s: int, m: int) -> np.ndarray:
+    """s smallest distinct values occurring at least m times (the
+    `mash sketch -m` abundance filter for read sets — error k-mers appear
+    once, real ones at ~coverage depth; Mash-family convention [K],
+    reference source unavailable — SURVEY.md §0)."""
+    hashes = np.asarray(hashes, dtype=np.uint64)
+    vals, cnts = np.unique(hashes, return_counts=True)
+    keep = (vals != nthash.UINT64_MAX) & (cnts >= m)
+    return vals[keep][:s]
+
+
 def sketch_codes(codes: np.ndarray, k: int, s: int) -> np.ndarray:
     """Sketch a single 2-bit-coded sequence (code 4 = invalid base)."""
     return bottom_s(nthash.canonical_hashes(codes, k), s)

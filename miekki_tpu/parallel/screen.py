@@ -42,10 +42,13 @@ except AttributeError:  # pragma: no cover
 def _screen_step_local(acc, db_hi, db_lo, thr_hi, thr_lo, batch, *, k: int,
                        axis: str):
     """Per-device body: screen this device's batch shard, then OR-merge the
-    bitmaps across the mesh axis.  batch: [1, F + k - 1] shard."""
-    upd = _screen_update_impl(acc, db_hi, db_lo, thr_hi[0], thr_lo[0],
-                              batch[0], k)
-    return lax.pmax(upd.astype(jnp.int32), axis) > 0
+    bitmaps across the mesh axis.  batch: [1, F + k - 1] shard.  Also
+    returns psum'd (n_windows, n_survivors) prefilter counters."""
+    upd, n_valid, n_keep = _screen_update_impl(acc, db_hi, db_lo, thr_hi[0],
+                                               thr_lo[0], batch[0], k)
+    merged = lax.pmax(upd.astype(jnp.int32), axis) > 0
+    return (merged, lax.psum(n_valid, axis)[None],
+            lax.psum(n_keep, axis)[None])
 
 
 @partial(jax.jit, static_argnames=("k", "mesh", "axis"), donate_argnums=(0,))
@@ -58,7 +61,7 @@ def screen_step_sharded(acc, db_hi, db_lo, thr_hi, thr_lo, batches, *,
         partial(_screen_step_local, k=k, axis=axis),
         mesh=mesh,
         in_specs=(rep, rep, rep, rep, rep, P(axis, None)),
-        out_specs=rep,
+        out_specs=(rep, rep, rep),
         check_vma=False,
     )(acc, db_hi, db_lo, thr_hi, thr_lo, batches)
 
@@ -86,9 +89,11 @@ def _screen_step_local_dbshard(acc, db_hi, db_lo, thr_hi, thr_lo, batch, *,
     """Per-device body with a DB shard: [1, Ms+1] acc, [1, Ms] db planes,
     [1, F + k - 1] batch shard.  Survivors whose value lives in another
     shard simply find no match here; merging over the data axis only."""
-    upd = _screen_update_impl(acc[0], db_hi[0], db_lo[0], thr_hi[0],
-                              thr_lo[0], batch[0], k)
-    return (lax.pmax(upd.astype(jnp.int32), axis) > 0)[None]
+    upd, n_valid, n_keep = _screen_update_impl(acc[0], db_hi[0], db_lo[0],
+                                               thr_hi[0], thr_lo[0],
+                                               batch[0], k)
+    return ((lax.pmax(upd.astype(jnp.int32), axis) > 0)[None],
+            lax.psum(n_valid, axis)[None], lax.psum(n_keep, axis)[None])
 
 
 @partial(jax.jit, static_argnames=("k", "mesh", "data_axis", "db_axis"),
@@ -107,7 +112,7 @@ def screen_step_db_sharded(acc, db_hi, db_lo, thr_hi, thr_lo, batches, *,
         mesh=mesh,
         in_specs=(P(db_axis, None), P(db_axis, None), P(db_axis, None),
                   rep, rep, P(data_axis, None)),
-        out_specs=P(db_axis, None),
+        out_specs=(P(db_axis, None), P(db_axis), P(db_axis)),
         check_vma=False,
     )(acc, db_hi, db_lo, thr_hi, thr_lo, batches)
 
@@ -119,15 +124,19 @@ def screen_sharded(
     axis: str = DATA_AXIS,
     flat: int = DEFAULT_READ_FLAT,
     db_axis: str | None = None,
+    winner: bool = False,
+    stats: dict | None = None,
 ) -> List[dict]:
     """Distributed analog of engine.screen — identical rows, reads streamed
     data-parallel across the mesh (BASELINE.json config 4 at host scale).
 
     With ``db_axis`` set (2-D mesh), the flat DB is additionally sharded
     along that axis so each device holds only M/D_db values — the pod-scale
-    layout where the whole sketch DB exceeds one chip's HBM."""
+    layout where the whole sketch DB exceeds one chip's HBM.  winner/stats
+    as in engine.screen."""
     if db_axis is not None:
-        return _screen_sharded_2d(index, reads_path, mesh, axis, db_axis, flat)
+        return _screen_sharded_2d(index, reads_path, mesh, axis, db_axis,
+                                  flat, winner, stats)
     k = index.params.k
     flat_vals, gid = _flatten_db(index)
     if len(flat_vals) == 0:
@@ -139,21 +148,41 @@ def screen_sharded(
     thr_lo = jnp.full(1, int(thr & np.uint64(0xFFFFFFFF)), jnp.uint32)
     d = mesh.shape[axis]
     acc = jnp.zeros(len(flat_vals) + 1, dtype=jnp.bool_)
+    counters = []
     for group in _batch_groups(reads_path, k, flat, d):
-        acc = screen_step_sharded(
+        acc, nv, nk = screen_step_sharded(
             acc, db_hi, db_lo, thr_hi, thr_lo, jnp.asarray(group),
             k=k, mesh=mesh, axis=axis,
         )
-    from ..engine import _hits_from_bitmap
-
-    hits = _hits_from_bitmap(flat_vals, gid, np.asarray(acc), len(index))
+        counters.append((nv, nk))
+    _fill_stats(stats, counters)
+    hits = _pick_hits(winner, flat_vals, gid, np.asarray(acc), index)
     return _screen_rows(index, hits)
 
 
-def _screen_sharded_2d(index, reads_path, mesh, data_axis, db_axis, flat):
-    import numpy as np
+def _pick_hits(winner, flat_vals, gid, acc, index):
+    from ..engine import _hits_from_bitmap, _hits_winner_takes_all
 
-    from ..engine import _hits_from_bitmap
+    if winner:
+        return _hits_winner_takes_all(flat_vals, gid, acc, len(index),
+                                      np.asarray(index.sizes()))
+    return _hits_from_bitmap(flat_vals, gid, acc, len(index))
+
+
+def _fill_stats(stats, counters):
+    if stats is None:
+        return
+    tot_w = sum(int(np.asarray(v)[0]) for v, _ in counters)
+    tot_s = sum(int(np.asarray(s_)[0]) for _, s_ in counters)
+    stats.update(
+        n_windows=tot_w, n_survivors=tot_s, n_batches=len(counters),
+        survivor_rate=tot_s / tot_w if tot_w else 0.0,
+    )
+
+
+def _screen_sharded_2d(index, reads_path, mesh, data_axis, db_axis, flat,
+                       winner=False, stats=None):
+    import numpy as np
 
     k = index.params.k
     flat_vals, gid = _flatten_db(index)
@@ -174,13 +203,16 @@ def _screen_sharded_2d(index, reads_path, mesh, data_axis, db_axis, flat):
     thr_hi = jnp.full(1, int(thr >> np.uint64(32)), jnp.uint32)
     thr_lo = jnp.full(1, int(thr & np.uint64(0xFFFFFFFF)), jnp.uint32)
     acc = jnp.zeros((d_db, ms + 1), dtype=jnp.bool_)
+    counters = []
     for group in _batch_groups(reads_path, k, flat, d_data):
-        acc = screen_step_db_sharded(
+        acc, nv, nk = screen_step_db_sharded(
             acc, db_hi, db_lo, thr_hi, thr_lo, jnp.asarray(group),
             k=k, mesh=mesh, data_axis=data_axis, db_axis=db_axis,
         )
+        counters.append((nv, nk))
+    _fill_stats(stats, counters)
     # reassemble the global bitmap: drop per-shard sinks, trim padding
     acc_np = np.asarray(acc)[:, :-1].reshape(-1)[:m]
-    hits = _hits_from_bitmap(flat_vals, gid,
-                             np.concatenate([acc_np, [False]]), len(index))
+    hits = _pick_hits(winner, flat_vals, gid,
+                      np.concatenate([acc_np, [False]]), index)
     return _screen_rows(index, hits)
