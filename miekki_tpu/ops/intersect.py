@@ -168,11 +168,24 @@ def _intersect_impl() -> str:
 
 
 def _pad_pow2(p: u64.Pair) -> u64.Pair:
-    """INF-pad the sketch width to a power of two, minimum 128: the bitonic
-    network needs pow2 strides, and Pallas column DMAs need the lane
-    dimension 128-aligned (Mosaic rejects 64-lane slices)."""
+    """INF-pad the sketch width to a power of two, minimum 128: the XLA
+    bitonic network needs pow2 strides."""
     sp = p[0].shape[-1]
     tgt = max(128, 1 << max(0, (sp - 1).bit_length()))
+    return _pad_to(p, tgt)
+
+
+def _pad_lane(p: u64.Pair) -> u64.Pair:
+    """INF-pad the sketch width to the next multiple of 128 — all the Pallas
+    kernel needs (its merge runs at true width inside the enclosing pow2
+    network), killing the 1.64× pow2-padding waste at s=10k (VERDICT r1
+    item 2)."""
+    sp = p[0].shape[-1]
+    return _pad_to(p, max(128, -(-sp // 128) * 128))
+
+
+def _pad_to(p: u64.Pair, tgt: int) -> u64.Pair:
+    sp = p[0].shape[-1]
     if tgt == sp:
         return p
     pad = [(0, 0)] * (p[0].ndim - 1) + [(0, tgt - sp)]
@@ -204,7 +217,7 @@ def _tile_counts(rows: u64.Pair, cols: u64.Pair, s: int, impl: str):
     if impl == "pallas":
         from . import pallas_intersect as _pi
 
-        return _pi.tile_counts_pallas(_pad_pow2(rows), _pad_pow2(cols), s)
+        return _pi.tile_counts_pallas(_pad_lane(rows), _pad_lane(cols), s)
 
     if impl == "bitonic":
         rows = _pad_pow2(rows)

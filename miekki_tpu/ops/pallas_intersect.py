@@ -55,6 +55,53 @@ def _bitonic_merge(hi, lo, sp):
     return hi, lo
 
 
+def _merge_any_width(hi, lo, p2: int):
+    """Bitonic merge of [R, W] rows (layout [A asc+INF pad | B-INF pad+desc])
+    for ANY lane-aligned width W ≤ p2 (p2 = the enclosing power of two),
+    eliminating the 1.64× pow2-padding waste of `_bitonic_merge` at s=10k
+    (VERDICT r1 item 2).
+
+    Correctness: run the classic p2-wide ascending merge descent on a
+    VIRTUAL array whose lanes [0, p2−W) hold zero and whose lanes
+    [p2−W, p2) are these W real lanes.  The virtual sequence
+    (zero plateau, A asc, INF plateau, B desc, wrap to zero) is circularly
+    bitonic, so the network applies.  Every compare-exchange sends the min
+    to the lower index, so a zero at a virtual index can never be replaced
+    by a larger value: the zero head is invariant across all stages.  (A
+    real hash of exactly 0 can tie-swap with a virtual zero, but ties are
+    value-identical, so the multiset in the real lanes — and hence every
+    count — is unchanged; the final real lanes are exactly sorted(A ∪ B).)
+    Real lanes therefore see virtual partners only in the backward
+    direction (local pos < d, up=false), where the exchange
+    max(0, x) = x reduces to keeping their own value.  Forward partners of
+    up-lanes are always real: (pos+off) % 2d < d bounds the partner inside
+    the same 2d block, i.e. below p2, i.e. local pos+d < W.
+
+    Per stage this is also a cheaper compare-exchange than _bitonic_merge's
+    both-direction form: one forward-rolled compare produces min/max, and
+    only the max is rolled back.
+    """
+    w = hi.shape[1]
+    off = p2 - w
+    pos = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 1)
+    pos_g = pos + off  # position in the virtual p2-wide array
+    d = p2 // 2
+    while d >= 1:
+        yh = _roll(hi, -d)
+        yl = _roll(lo, -d)
+        le = (hi < yh) | ((hi == yh) & (lo <= yl))
+        min_h = jnp.where(le, hi, yh)
+        min_l = jnp.where(le, lo, yl)
+        max_h = jnp.where(le, yh, hi)
+        max_l = jnp.where(le, yl, lo)
+        up = (pos_g & (2 * d - 1)) < d
+        self_ = pos < d  # backward partner is a virtual zero: keep own value
+        hi = jnp.where(up, min_h, jnp.where(self_, hi, _roll(max_h, d)))
+        lo = jnp.where(up, min_l, jnp.where(self_, lo, _roll(max_l, d)))
+        d //= 2
+    return hi, lo
+
+
 def _prefix_sum(x, pos):
     """Inclusive prefix sum along lanes via log-doubling rolls."""
     length = x.shape[1]
@@ -67,11 +114,21 @@ def _prefix_sum(x, pos):
 
 def _counts_for_col(rhi, rlo, chi_row, clo_row, s: int, sp: int):
     """rows [BI, sp] vs ONE column sketch [1, sp] (already lane-reversed):
-    → (shared, union, inter) int32 [BI]."""
+    → (shared, union, inter) int32 [BI].  sp need only be 128-aligned; the
+    merge runs at the true width W = 2·sp inside the enclosing pow2 network
+    (`_merge_any_width`)."""
     bi = rhi.shape[0]
     hi = jnp.concatenate([rhi, jnp.broadcast_to(chi_row, (bi, sp))], axis=1)
     lo = jnp.concatenate([rlo, jnp.broadcast_to(clo_row, (bi, sp))], axis=1)
-    hi, lo = _bitonic_merge(hi, lo, sp)
+    if sp & (sp - 1):
+        p2 = 1 << (2 * sp - 1).bit_length()
+        hi, lo = _merge_any_width(hi, lo, p2)
+    else:
+        import os
+        if os.environ.get("MIEKKI_MERGE_NET", "bitonic") == "any":
+            hi, lo = _merge_any_width(hi, lo, 2 * sp)
+        else:
+            hi, lo = _bitonic_merge(hi, lo, sp)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 1)
     valid = ~((hi == np.uint32(0xFFFFFFFF)) & (lo == np.uint32(0xFFFFFFFF)))
@@ -206,9 +263,9 @@ def _tile_kernel(rhi_ref, rlo_ref, chi_hbm, clo_hbm,
     inter_ref[...] = it_
 
 
-@partial(jax.jit, static_argnames=("s", "interpret"))
+@partial(jax.jit, static_argnames=("s", "interpret", "unroll"))
 def tile_counts_pallas(rows: u64.Pair, cols: u64.Pair, s: int,
-                       interpret: bool = False):
+                       interpret: bool = False, unroll: int = None):
     """All-pairs counts for a tile on the Pallas path.
 
     rows [(Ti, sp)], cols [(Tj, sp)] with sp a power of two (use
@@ -218,8 +275,9 @@ def tile_counts_pallas(rows: u64.Pair, cols: u64.Pair, s: int,
     """
     ti, sp = rows[0].shape
     tj = cols[0].shape[0]
-    if sp & (sp - 1) or cols[0].shape[1] != sp:
-        raise ValueError(f"power-of-two sketch width required, got {sp}")
+    if sp % 128 or cols[0].shape[1] != sp:
+        raise ValueError(f"128-aligned equal sketch widths required, got "
+                         f"{sp} / {cols[0].shape[1]}")
     ti_p = -(-ti // BI) * BI
 
     if ti_p != ti:
@@ -231,9 +289,11 @@ def tile_counts_pallas(rows: u64.Pair, cols: u64.Pair, s: int,
     cols_rev = (cols[0][:, ::-1].reshape(tj, 1, sp),
                 cols[1][:, ::-1].reshape(tj, 1, sp))
 
-    import os
-
-    unroll2 = os.environ.get("MIEKKI_TILE_UNROLL", "1") == "2"
+    if unroll is None:  # jit caches key on `unroll`; None resolves the env
+        import os       # var at trace time (first call pins it — pass the
+        # argument explicitly for switchability, ADVICE r1)
+        unroll = int(os.environ.get("MIEKKI_TILE_UNROLL", "1"))
+    unroll2 = unroll == 2
     tj_orig = tj
     if unroll2 and tj % 2:
         cfg3 = ((0, 1), (0, 0), (0, 0))

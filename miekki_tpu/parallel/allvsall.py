@@ -117,6 +117,76 @@ def _unrotate(x, *, D: int, nl_rows: int, nl_cols: int):
     return out.reshape(D * nl_rows, D * nl_cols)
 
 
+def _ring_chunk_local(rows_hi, rows_lo, cols_hi, cols_lo, *, s: int,
+                      axis: str, t0: int, n_steps: int, impl=None):
+    """Ring steps [t0, t0 + n_steps) only (inside shard_map): the column
+    block is first pre-rotated by t0 with a single offset ppermute, then the
+    usual rotate-and-intersect scan runs for n_steps.  Chunking the ring
+    this way makes a pod-scale all-vs-all checkpointable between chunks
+    (SURVEY.md §5 failure detection; exercised by
+    tools/multiprocess_fault_test.py: kill a process mid-run, resume from
+    the last complete chunk, bitwise-identical matrix)."""
+    D = lax.axis_size(axis)
+    if t0 % D:
+        perm0 = [(i, (i + t0) % D) for i in range(D)]
+        cols_hi = lax.ppermute(cols_hi, axis, perm0)
+        cols_lo = lax.ppermute(cols_lo, axis, perm0)
+    perm = [(i, (i + 1) % D) for i in range(D)]
+
+    def step(carry, _):
+        c_hi, c_lo = carry
+        counts = _intersect.tile_counts((rows_hi, rows_lo), (c_hi, c_lo), s,
+                                        impl=impl)
+        c_hi = lax.ppermute(c_hi, axis, perm)
+        c_lo = lax.ppermute(c_lo, axis, perm)
+        return (c_hi, c_lo), (counts["shared_in_x"], counts["union_size"],
+                              counts["inter_full"])
+
+    _, (shared, union, inter) = lax.scan(step, (cols_hi, cols_lo), None,
+                                         length=n_steps)
+    return shared, union, inter  # each [n_steps, Nl, Nl]
+
+
+@partial(jax.jit, static_argnames=("s", "mesh", "axis", "t0", "n_steps",
+                                   "impl"))
+def ring_chunk_counts(
+    db_hi: jax.Array, db_lo: jax.Array, *, s: int, mesh: Mesh, t0: int,
+    n_steps: int, axis: str = DB_AXIS, impl: str = None
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Self-comparison ring restricted to steps [t0, t0+n_steps).
+
+    Returns (shared, union, inter) int32 [n_steps, N, N//D] in RING order:
+    slice [t - t0, d*nl:(d+1)*nl, :] holds row block d vs the column block
+    originally owned by device (d - t) mod D.  Use `unrotate_chunks` after
+    concatenating all chunks to recover the global matrix."""
+    D = mesh.shape[axis]
+    n = db_hi.shape[0]
+    if n % D:
+        raise ValueError(f"N={n} not divisible by mesh axis {axis}={D}")
+    spec_db = P(axis, None)
+    return shard_map(
+        partial(_ring_chunk_local, s=s, axis=axis, t0=t0, n_steps=n_steps,
+                impl=impl),
+        mesh=mesh,
+        in_specs=(spec_db, spec_db, spec_db, spec_db),
+        out_specs=(P(None, axis, None),) * 3,
+        check_vma=False,
+    )(db_hi, db_lo, db_hi, db_lo)
+
+
+def unrotate_chunks(x: np.ndarray, *, D: int) -> np.ndarray:
+    """Host-side: concatenated chunk outputs [D(steps), N, nl] → [N, N]."""
+    n = x.shape[1]
+    nl = n // D
+    out = np.zeros((n, n), x.dtype)
+    for t in range(D):
+        for d in range(D):
+            origin = (d - t) % D
+            out[d * nl:(d + 1) * nl, origin * nl:(origin + 1) * nl] = \
+                x[t, d * nl:(d + 1) * nl, :]
+    return out
+
+
 @partial(jax.jit, static_argnames=("s", "mesh", "axis", "impl"))
 def ring_rect_counts(
     a_hi: jax.Array, a_lo: jax.Array, b_hi: jax.Array, b_lo: jax.Array,

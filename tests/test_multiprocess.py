@@ -23,3 +23,20 @@ def test_two_process_ring_all_vs_all():
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert "ALL PROCESSES OK" in out.stdout
+
+
+@pytest.mark.timeout(400)
+def test_fault_injection_resume():
+    """Kill process 1 mid-run; restart; manifest resume must reproduce the
+    bitwise-identical matrix (SURVEY.md §5; VERDICT r1 next-round #8)."""
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "multiprocess_fault_test.py")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "MIEKKI_FAULT_PORT": "9941"}
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(tool)], env=env,
+        capture_output=True, text=True, timeout=380,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "bitwise identical — PASS" in out.stdout
