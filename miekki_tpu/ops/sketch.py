@@ -102,7 +102,11 @@ def _env_hash_impl() -> str:
 
     impl = os.environ.get("MIEKKI_HASH", "auto").lower()
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # r2 merge ablation: at production shapes the XLA hash beats the
+        # Pallas hash kernel on this chip (0.83 vs 0.66 Gbase/s end-to-end)
+        # — XLA's fusion of the hash chain into the threshold mask wins;
+        # keep the kernel selectable for future toolchains.
+        impl = "xla"
     return impl
 
 
@@ -284,12 +288,97 @@ def _sketch_chunked(chunks: jax.Array, k: int, s: int, group: int,
         out, _ = jax.lax.scan(body, empty_sketch(s), blocks)
         return out
 
+    if strategy == "tree" and blocks.shape[0] >= 2 * MERGE_EVERY:
+        return _sketch_group_merged(blocks, k, s, hash_impl)
+
     def body(carry, block):
         h = _hash_rows(block, k, impl=hash_impl)
         flat = (h[0].reshape(-1), h[1].reshape(-1))
         return merge_into_sketch(carry, flat, s, strategy=strategy), None
 
     out, _ = jax.lax.scan(body, empty_sketch(s), blocks)
+    return out
+
+
+# Steps per bottom-s merge in the group-merged tree path.  The r2 merge
+# ablation (TPU, 134 Mbase, k=31, s=10k) attributed ~0.37 ms/step — 57% of
+# step time — to the final sort-dedup merge vs ~0.075 ms for the tree
+# compaction; amortizing the merge over 8 steps roughly doubles sketch
+# throughput (VERDICT r1 item 1, re-diagnosed: the merge, not the hash op
+# mix, was the bound).
+MERGE_EVERY = 8
+
+
+def _sketch_group_merged(blocks: jax.Array, k: int, s: int,
+                         hash_impl: str) -> u64.Pair:
+    """Tree-strategy scan with ONE bottom-s merge per MERGE_EVERY steps.
+
+    Each inner step hashes its block, threshold-filters against the (stale
+    but conservative: the s-th min only decreases, so a stale threshold
+    never drops a needed candidate) sketch threshold, and tree-compacts to
+    a per-step candidate budget; the group's candidates are then compacted
+    once more and merged in a single sort-dedup.  Bitwise-equal to the
+    per-step path (bottom-s of a set is associative); exactness on tree
+    overflow is preserved by the usual while_loop full-merge fallback,
+    applied per-block."""
+    n_steps, g, w = blocks.shape
+
+    # Warmup head: the first MERGE_EVERY steps run with a per-step merge so
+    # the cold-sketch overflow fallback (threshold = +inf → every hash
+    # survives) fires at most once on a single block, not on a whole group.
+    def head_body(carry, block):
+        h = _hash_rows(block, k, impl=hash_impl)
+        flat = (h[0].reshape(-1), h[1].reshape(-1))
+        return merge_into_sketch(carry, flat, s, strategy="tree"), None
+
+    warm, _ = jax.lax.scan(head_body, empty_sketch(s),
+                           blocks[:MERGE_EVERY])
+    blocks = blocks[MERGE_EVERY:]
+
+    pad_steps = -blocks.shape[0] % MERGE_EVERY
+    if pad_steps:
+        blocks = jnp.pad(blocks, ((0, pad_steps), (0, 0), (0, 0)),
+                         constant_values=_hash.INVALID_CODE)
+    groups = blocks.reshape(-1, MERGE_EVERY, g, w)
+
+    def group_body(carry, group):
+        thr = (carry[0][s - 1], carry[1][s - 1])
+        cands = []
+        overflow = jnp.bool_(False)
+        for i in range(MERGE_EVERY):
+            h = _hash_rows(group[i], k, impl=hash_impl)
+            flat = (h[0].reshape(-1), h[1].reshape(-1))
+            keep = u64.less(flat, thr)
+            cand = u64.where(keep, flat, u64.inf_like(keep.shape))
+            while cand[0].size > 2 * CAND_BUDGET:
+                cand, of = _tree_level(cand)
+                overflow = overflow | of
+            cands.append(cand)
+        cat = (jnp.concatenate([c[0] for c in cands]),
+               jnp.concatenate([c[1] for c in cands]))
+        while cat[0].size > 2 * CAND_BUDGET:
+            cat, of = _tree_level(cat)
+            overflow = overflow | of
+        small = _merge_sorted_trunc(carry, cat, s)
+
+        def fb_body(_state):
+            # exact path: re-hash and merge every raw hash of the group
+            # (fires only on adversarial input — the warmup head absorbs
+            # the cold sketch).  Hashes are recomputed HERE rather than
+            # kept live from the fast path: keeping 8 raw hash blocks
+            # alive across the group would stop XLA fusing the
+            # hash→threshold→tree chain per step.
+            out = carry
+            for i in range(MERGE_EVERY):
+                h = _hash_rows(group[i], k, impl=hash_impl)
+                out = _merge_sorted_trunc(
+                    out, (h[0].reshape(-1), h[1].reshape(-1)), s)
+            return jnp.bool_(False), out
+
+        _, out = lax.while_loop(lambda st: st[0], fb_body, (overflow, small))
+        return out, None
+
+    out, _ = jax.lax.scan(group_body, warm, groups)
     return out
 
 

@@ -204,3 +204,82 @@ def test_truncated_gzip_rejected(tmp_path):
             list(N.read_encoded_native(str(trunc)))
     with pytest.raises(EOFError):
         list(R.read_records(str(trunc)))  # pure-Python path (the spec)
+
+
+class TestStreaming:
+    """Bounded-memory native streaming (mio_open/next_batch/close) must
+    yield the same record stream as the whole-file parser (VERDICT r1
+    item 4)."""
+
+    def _stream_records(self, path, batch):
+        out = []
+        for names, codes, offs in N.stream_encoded_native(path, batch):
+            for i, nm in enumerate(names):
+                out.append((nm, codes[int(offs[i]):int(offs[i + 1])]))
+        return out
+
+    @pytest.mark.parametrize("gz", [False, True])
+    @pytest.mark.parametrize("batch", [64, 5000])
+    def test_fastq_stream_parity(self, tmp_path, gz, batch):
+        rng = np.random.default_rng(3)
+        reads = [("r%d" % i, random_seq(rng, int(rng.integers(30, 180))))
+                 for i in range(200)]
+        p = write_fastq(tmp_path / ("r.fq" + (".gz" if gz else "")),
+                        reads, gz=gz)
+        whole = _native_records(p)
+        streamed = self._stream_records(p, batch)
+        assert len(whole) == len(streamed)
+        for (an, ac), (bn, bc) in zip(whole, streamed):
+            assert an == bn and np.array_equal(ac, bc)
+
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_fasta_stream_parity(self, tmp_path, gz):
+        rng = np.random.default_rng(4)
+        recs = [("g%d" % i, random_seq(rng, int(rng.integers(500, 9000))))
+                for i in range(25)]
+        p = write_fasta(tmp_path / ("g.fa" + (".gz" if gz else "")),
+                        recs, gz=gz)
+        whole = _native_records(p)
+        streamed = self._stream_records(p, 2048)
+        assert len(whole) == len(streamed)
+        for (an, ac), (bn, bc) in zip(whole, streamed):
+            assert an == bn and np.array_equal(ac, bc)
+
+    def test_stream_truncated_gzip_raises(self, tmp_path):
+        rng = np.random.default_rng(5)
+        reads = [("r%d" % i, random_seq(rng, 120)) for i in range(300)]
+        p = write_fastq(tmp_path / "full.fq.gz", reads, gz=True)
+        data = open(p, "rb").read()
+        trunc = tmp_path / "trunc.fq.gz"
+        trunc.write_bytes(data[: len(data) // 2])
+        with pytest.raises(ValueError, match="gzip"):
+            self._stream_records(str(trunc), 1024)
+
+    def test_stream_empty_raises(self, tmp_path):
+        p = tmp_path / "empty.fa"
+        p.write_bytes(b"")
+        with pytest.raises(ValueError):
+            self._stream_records(str(p), 1024)
+
+    def test_screen_stream_matches_python_fallback(self, tmp_path,
+                                                   monkeypatch):
+        """End to end: screen over the streamed native packer must produce
+        identical rows to the pure-Python whole-stream packer."""
+        from miekki_tpu import engine
+        from miekki_tpu.params import SketchParams
+        from fixtures import write_fasta as _wf
+
+        rng = np.random.default_rng(6)
+        gpaths = [
+            _wf(tmp_path / f"g{i}.fa",
+                [(f"g{i}", random_seq(rng, 3000))])
+            for i in range(4)
+        ]
+        idx = engine.build_index(gpaths, SketchParams(k=21, s=200))
+        reads = [("r%d" % i, random_seq(rng, 100)) for i in range(400)]
+        p = write_fastq(tmp_path / "reads.fq", reads)
+        got_native = engine.screen(idx, p, flat=4096)
+        monkeypatch.setattr(N, "_lib", None)
+        monkeypatch.setattr(N, "_lib_checked", True)
+        got_py = engine.screen(idx, p, flat=4096)
+        assert got_native == got_py

