@@ -90,10 +90,18 @@ def _group_sort(hi, lo, width: int):
 
 
 def _take_groups(x, width: int, cap: int):
-    """[..., L] → [..., L//width*cap]: first `cap` lanes of each group."""
-    lead = x.shape[:-1]
+    """[..., L] → [..., L//width*cap]: first `cap` lanes of each group.
+
+    Written as a python loop of STATIC lane slices + one concat: the
+    reshape([.., g, width])[..., :cap].reshape(..) form crashes this
+    machine's remote Mosaic compile helper whenever it follows the fused
+    hash chain (r2 bisect: hash-only OK, sort-only OK, hash+sort OK,
+    hash+reshape-take — helper subprocess dies; the slice+concat form
+    compiles).  XLA lowers both forms identically outside Pallas.
+    """
     g = x.shape[-1] // width
-    return x.reshape(*lead, g, width)[..., :cap].reshape(*lead, g * cap)
+    return jnp.concatenate(
+        [x[..., i * width:i * width + cap] for i in range(g)], axis=-1)
 
 
 def _finite_counts(hi, lo, width: int):
