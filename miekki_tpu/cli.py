@@ -10,13 +10,15 @@
                                    [--max-dist D] [--max-p P]
   python -m miekki_tpu.cli screen  <db.npz> <reads.fq[.gz]...> -o out.tsv
                                    [--distributed]
+  python -m miekki_tpu.cli triangle <db.npz|genomes...> -o out.phylip
   python -m miekki_tpu.cli info    <db.npz> [--dump]
   python -m miekki_tpu.cli merge   <dbs...> -o merged.npz
 
 Mash-command mapping: sketch≈`mash sketch` (`--per-record`≈`-i`),
 dist≈`mash dist` (`--matrix`≈`-t`, `--max-dist`≈`-d`, `--max-p`≈`-v`,
-`--bounds`≈`mash bounds`), screen≈`mash screen`, info≈`mash info`
-(`--dump`≈`-d`), merge≈`mash paste`.
+`--bounds`≈`mash bounds`), screen≈`mash screen`,
+triangle≈`mash triangle`, info≈`mash info` (`--dump`≈`-d`),
+merge≈`mash paste`.
 
 Inputs ending in .npz are loaded as sketch indexes (several = per-host
 shards); anything else is treated as a FASTA/FASTQ(.gz) genome file and
@@ -199,6 +201,21 @@ def cmd_screen(args) -> int:
     return 0
 
 
+def cmd_triangle(args) -> int:
+    """Lower-triangular Phylip distance matrix (the `mash triangle` analog)."""
+    index = _load_or_build(args.query, args)
+    t0 = time.perf_counter()
+    text = engine.dist_triangle_text(index, tile=args.tile)
+    dt = time.perf_counter() - t0
+    with _out(args) as f:
+        f.write(text)
+    _metrics.emit(args.metrics, phase="triangle", genomes=len(index),
+                  seconds=dt)
+    print(f"wrote {len(index)}-genome lower-triangular matrix in {dt:.2f}s",
+          file=sys.stderr)
+    return 0
+
+
 def cmd_info(args) -> int:
     index = SketchIndex.load(args.db)
     if args.dump:
@@ -317,6 +334,15 @@ def build_parser() -> argparse.ArgumentParser:
                    "only its best-containment genome (mash screen -w analog)")
     _add_common(p)
     p.set_defaults(fn=cmd_screen)
+
+    p = sub.add_parser("triangle", help="lower-triangular Phylip distance "
+                       "matrix (mash triangle analog)")
+    p.add_argument("query", nargs="+", help="index (.npz) or genome files")
+    p.add_argument("-o", "--output", default="-",
+                   help="output file (default stdout)")
+    p.add_argument("--tile", type=int, default=engine.DEFAULT_TILE)
+    _add_common(p)
+    p.set_defaults(fn=cmd_triangle)
 
     p = sub.add_parser("info", help="describe a sketch index")
     p.add_argument("db")

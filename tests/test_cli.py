@@ -230,6 +230,35 @@ def test_cli_per_record_and_matrix(tmp_path):
     assert row1[0] == "contig0" and float(row1[1]) == 0.0
 
 
+def test_cli_triangle_matches_square_matrix(tmp_path):
+    import numpy as np
+    from fixtures import random_seq, write_fasta
+    from miekki_tpu.cli import main
+
+    rng = np.random.default_rng(77)
+    recs = [(f"c{i}", random_seq(rng, 2500)) for i in range(5)]
+    p = str(write_fasta(tmp_path / "multi.fa", recs))
+    db = str(tmp_path / "tri.npz")
+    main(["sketch", p, "-o", db, "-k", "21", "-s", "120", "--per-record"])
+
+    sq, tri = tmp_path / "sq.tsv", tmp_path / "tri.phylip"
+    assert main(["dist", db, "-o", str(sq), "--matrix"]) == 0
+    assert main(["triangle", db, "-o", str(tri)]) == 0
+
+    sq_lines = sq.read_text().splitlines()
+    tri_lines = tri.read_text().splitlines()
+    assert tri_lines[0].strip() == "5"
+    assert len(tri_lines) == 6
+    # row i: name + i distances, textually identical to the square matrix's
+    # lower triangle (same unique-value formatting path)
+    for i in range(5):
+        t_cells = tri_lines[1 + i].split("\t")
+        s_cells = sq_lines[1 + i].split("\t")
+        assert t_cells[0] == f"c{i}"
+        assert len(t_cells) == 1 + i
+        assert t_cells[1:] == s_cells[1 : 1 + i]
+
+
 def test_per_record_matches_separate_files(tmp_path):
     import numpy as np
     from fixtures import random_seq, write_fasta
