@@ -70,9 +70,12 @@ def bench_sketch(k: int = 31, s: int = 10_000, chunk: int = 1 << 13,
     return bases / dt / 1e9
 
 
-def bench_pairs(s: int = 10_000, tile: int = 128) -> float:
-    """Sketch-pair comparisons/s through the tiled intersection kernel.
-    Sketches are generated + sorted on device (see bench_sketch note)."""
+def bench_pairs(s: int = 10_000, tile: int = 512) -> float:
+    """Sketch-pair comparisons/s through the tiled intersection kernel at
+    the production tile size (engine.DEFAULT_TILE): per-dispatch fixed cost
+    (~200 ms on this tunnel) dominates small tiles — 128 measured 69k,
+    256 230k, 512 375k pairs/s.  Sketches are generated + sorted on device
+    (see bench_sketch note)."""
     import jax
     import jax.numpy as jnp
     from miekki_tpu.ops import intersect as _intersect

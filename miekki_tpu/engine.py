@@ -30,8 +30,11 @@ from .ops import u64
 DEFAULT_CHUNK = 1 << 13  # row width (bases) for the sketch pipeline; rows are
 # grouped into ~512K-base scan steps (ops.sketch.STEP_TARGET).  Narrow rows
 # keep Pallas hash blocks inside VMEM; the k-1 overlap waste is <0.5%.
-DEFAULT_TILE = 256       # genomes per side of an all-vs-all tile (bigger
-# tiles amortize per-dispatch overhead; results are tiling-independent)
+DEFAULT_TILE = 512       # genomes per side of an all-vs-all tile (bigger
+# tiles amortize the ~200 ms fixed per-dispatch cost; results are
+# tiling-independent.  Measured at s=10k on the chip: 69k pairs/s at 128,
+# 230k at 256, 375k at 512 — the r1 "VPU roofline" attribution was this
+# fixed cost, not lane ops)
 DEFAULT_READ_FLAT = 1 << 22  # packed read bases per screening batch — large
 # batches amortize per-dispatch overhead; the device-side cost is ~2 ms
 # per Mbase (hash + partition + survivor join; see docs/DESIGN.md)
