@@ -34,19 +34,31 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import numpy as np
 
 
-def synth_sketches(rng, n, s, chunk=4096):
-    """[n, s] sorted-ascending synthetic sketch planes, values < 2^58."""
+def synth_sketches(n, s, chunk=4096, seed=7):
+    """[n, s] sorted-ascending synthetic sketch planes, values < 2^58.
+
+    Generated and sorted ON DEVICE: this machine's numpy BitGenerator
+    streams ~3 MB/s (a 1G-value table would take ~45 min of host CPU);
+    jax.random.bits + lax.sort produce the same thing in seconds."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(key):
+        k1, k2 = jax.random.split(key)
+        # hi gets 26 random bits -> values uniform in [0, 2^58)
+        h = jax.random.bits(k1, (chunk, s), jnp.uint32) >> 6
+        l = jax.random.bits(k2, (chunk, s), jnp.uint32)
+        return jax.lax.sort((h, l), dimension=-1, num_keys=2)
+
     hi = np.empty((n, s), np.uint32)
     lo = np.empty((n, s), np.uint32)
-    for o in range(0, n, chunk):
+    keys = jax.random.split(jax.random.PRNGKey(seed), -(-n // chunk))
+    for i, o in enumerate(range(0, n, chunk)):
         c = min(chunk, n - o)
-        # float draws scaled to 2^58: this numpy's uint64 generation paths
-        # (bounded and full-width) run ~100x slower than fill_double; the
-        # 53-bit granularity is irrelevant for synthetic sketch values
-        v = (rng.random(size=(c, s)) * float(1 << 58)).astype(np.uint64)
-        v.sort(axis=1)
-        hi[o : o + c] = (v >> np.uint64(32)).astype(np.uint32)
-        lo[o : o + c] = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        h, l = gen(keys[i])
+        hi[o : o + c] = np.asarray(h)[:c]
+        lo[o : o + c] = np.asarray(l)[:c]
     return hi, lo
 
 
@@ -101,7 +113,7 @@ def main() -> int:
           flush=True)
 
     t0 = time.time()
-    syn_hi, syn_lo = synth_sketches(rng, n - n_real, s)
+    syn_hi, syn_lo = synth_sketches(n - n_real, s)
     hi = np.concatenate([real_idx.hi, syn_hi])
     lo = np.concatenate([real_idx.lo, syn_lo])
     del syn_hi, syn_lo
