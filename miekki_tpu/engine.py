@@ -239,8 +239,12 @@ def _row_from_counts(shared: int, union: int, k: int,
 
 
 def _pad_rows(idx: SketchIndex, tile: int):
-    """Pad the [N, s] planes to a multiple of `tile` with INF rows."""
+    """Pad the [N, s] planes to a multiple of `tile` with INF rows.
+    Zero-copy when already aligned (an 8 GB DB shouldn't be duplicated
+    just to be sliced)."""
     n = len(idx)
+    if n and n % tile == 0:
+        return idx.hi, idx.lo, n
     n_pad = -(-n // tile) * tile
     hi = np.full((n_pad, idx.params.s), 0xFFFFFFFF, dtype=np.uint32)
     lo = np.full((n_pad, idx.params.s), 0xFFFFFFFF, dtype=np.uint32)
