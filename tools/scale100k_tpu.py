@@ -74,6 +74,8 @@ def main() -> int:
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--workdir", default="/tmp/miekki_100k")
     ap.add_argument("--out", default="artifacts/scale100k_tpu.json")
+    ap.add_argument("--skip-dist", action="store_true",
+                    help="run only the screen phase (phase B)")
     args = ap.parse_args()
 
     from pathlib import Path
@@ -127,54 +129,58 @@ def main() -> int:
 
     # --- phase A: rectangular dist, 256 queries vs the full DB
     nq = args.queries
-    q_idx = SketchIndex(params, names[:nq], hi[:nq].copy(), lo[:nq].copy())
-    T = args.tile
-    sh = np.zeros((nq, n), np.int32)
-    un = np.zeros((nq, n), np.int32)
-    it = np.zeros((nq, n), np.int32)
-    t0 = time.time()
-    n_tiles = -(-nq // T) * (-(-n // T))
-    for ti, (bi, bj, gi, gj, tsh, tun, tit) in enumerate(
-            engine.dist_tiles(q_idx, index, tile=T)):
-        sh[gi, gj], un[gi, gj], it[gi, gj] = tsh, tun, tit
-        if ti % 64 == 0:
-            print(f"[100k] dist tile {ti}/{n_tiles} "
-                  f"({time.time()-t0:.0f}s)", flush=True)
-    dt = time.time() - t0
-    pairs = nq * n
-    report["dist_pairs"] = pairs
-    report["dist_seconds"] = round(dt, 1)
-    report["dist_pairs_per_s"] = round(pairs / dt, 1)
-    print(f"[100k] dist: {pairs} pairs in {dt:.0f}s "
-          f"({pairs/dt/1e3:.1f}k pairs/s)", flush=True)
+    ident_ok = spot_ok = True
+    if args.skip_dist:
+        report["dist_skipped"] = True
+    else:
+        q_idx = SketchIndex(params, names[:nq], hi[:nq].copy(), lo[:nq].copy())
+        T = args.tile
+        sh = np.zeros((nq, n), np.int32)
+        un = np.zeros((nq, n), np.int32)
+        it = np.zeros((nq, n), np.int32)
+        t0 = time.time()
+        n_tiles = -(-nq // T) * (-(-n // T))
+        for ti, (bi, bj, gi, gj, tsh, tun, tit) in enumerate(
+                engine.dist_tiles(q_idx, index, tile=T)):
+            sh[gi, gj], un[gi, gj], it[gi, gj] = tsh, tun, tit
+            if ti % 64 == 0:
+                print(f"[100k] dist tile {ti}/{n_tiles} "
+                      f"({time.time()-t0:.0f}s)", flush=True)
+        dt = time.time() - t0
+        pairs = nq * n
+        report["dist_pairs"] = pairs
+        report["dist_seconds"] = round(dt, 1)
+        report["dist_pairs_per_s"] = round(pairs / dt, 1)
+        print(f"[100k] dist: {pairs} pairs in {dt:.0f}s "
+              f"({pairs/dt/1e3:.1f}k pairs/s)", flush=True)
 
-    # identity invariant: query row i IS DB row i
-    sizes = index.sizes()[:nq]
-    ident_ok = (bool(np.array_equal(np.diagonal(sh[:, :nq]), np.minimum(sizes, s)))
-                and bool(np.array_equal(np.diagonal(it[:, :nq]), sizes)))
-    # spot parity vs the independent bitonic-XLA implementation
-    import jax.numpy as jnp
+        # identity invariant: query row i IS DB row i
+        sizes = index.sizes()[:nq]
+        ident_ok = (bool(np.array_equal(np.diagonal(sh[:, :nq]),
+                                        np.minimum(sizes, s)))
+                    and bool(np.array_equal(np.diagonal(it[:, :nq]), sizes)))
+        # spot parity vs the independent bitonic-XLA implementation
+        import jax.numpy as jnp
 
-    spot_ok = True
-    rv = np.random.default_rng(11)
-    for _ in range(4):
-        bj = int(rv.integers(0, n // T))
-        c0, c1 = bj * T, (bj + 1) * T
-        out = I.tile_counts(
-            (jnp.asarray(hi[:T]), jnp.asarray(lo[:T])),
-            (jnp.asarray(hi[c0:c1]), jnp.asarray(lo[c0:c1])), s,
-            impl="bitonic")
-        spot_ok &= bool(np.array_equal(np.asarray(out["shared_in_x"]),
-                                       sh[:T, c0:c1]))
-        spot_ok &= bool(np.array_equal(np.asarray(out["union_size"]),
-                                       un[:T, c0:c1]))
-        spot_ok &= bool(np.array_equal(np.asarray(out["inter_full"]),
-                                       it[:T, c0:c1]))
-    report["dist_identity_ok"] = ident_ok
-    report["dist_bitonic_spots_ok"] = bool(spot_ok)
-    print(f"[100k] dist identity={ident_ok} bitonic_spots={spot_ok}",
-          flush=True)
-    del sh, un, it
+        rv = np.random.default_rng(11)
+        for _ in range(4):
+            bj = int(rv.integers(0, n // T))
+            c0, c1 = bj * T, (bj + 1) * T
+            out = I.tile_counts(
+                (jnp.asarray(hi[:T]), jnp.asarray(lo[:T])),
+                (jnp.asarray(hi[c0:c1]), jnp.asarray(lo[c0:c1])), s,
+                impl="bitonic")
+            spot_ok &= bool(np.array_equal(np.asarray(out["shared_in_x"]),
+                                           sh[:T, c0:c1]))
+            spot_ok &= bool(np.array_equal(np.asarray(out["union_size"]),
+                                           un[:T, c0:c1]))
+            spot_ok &= bool(np.array_equal(np.asarray(out["inter_full"]),
+                                           it[:T, c0:c1]))
+        report["dist_identity_ok"] = ident_ok
+        report["dist_bitonic_spots_ok"] = bool(spot_ok)
+        print(f"[100k] dist identity={ident_ok} bitonic_spots={spot_ok}",
+              flush=True)
+        del sh, un, it
 
     # --- phase B: production screen vs the 102,400-genome DB
     sources = [0, 1, 7]
