@@ -162,20 +162,24 @@ def main() -> int:
         # spot parity vs the independent bitonic-XLA implementation
         import jax.numpy as jnp
 
+        # 64-wide slices: the bitonic path pads s to pow2 (32768 lanes) and
+        # broadcasts [ROW_GROUP, Tc, 32768] temps — Tc=256 OOMs the 16 GB
+        # HBM, 64 fits comfortably
         rv = np.random.default_rng(11)
+        V = 64
         for _ in range(4):
-            bj = int(rv.integers(0, n // T))
-            c0, c1 = bj * T, (bj + 1) * T
+            bj = int(rv.integers(0, n // V))
+            c0, c1 = bj * V, (bj + 1) * V
             out = I.tile_counts(
-                (jnp.asarray(hi[:T]), jnp.asarray(lo[:T])),
+                (jnp.asarray(hi[:V]), jnp.asarray(lo[:V])),
                 (jnp.asarray(hi[c0:c1]), jnp.asarray(lo[c0:c1])), s,
                 impl="bitonic")
             spot_ok &= bool(np.array_equal(np.asarray(out["shared_in_x"]),
-                                           sh[:T, c0:c1]))
+                                           sh[:V, c0:c1]))
             spot_ok &= bool(np.array_equal(np.asarray(out["union_size"]),
-                                           un[:T, c0:c1]))
+                                           un[:V, c0:c1]))
             spot_ok &= bool(np.array_equal(np.asarray(out["inter_full"]),
-                                           it[:T, c0:c1]))
+                                           it[:V, c0:c1]))
         report["dist_identity_ok"] = ident_ok
         report["dist_bitonic_spots_ok"] = bool(spot_ok)
         print(f"[100k] dist identity={ident_ok} bitonic_spots={spot_ok}",
