@@ -156,9 +156,13 @@ ROW_GROUP = 8  # rows per sequential step — bounds gather temps to
 
 
 def _intersect_impl() -> str:
-    """MIEKKI_INTERSECT=auto|pallas|bitonic|searchsorted (env).  auto: the
-    Pallas VMEM bitonic-merge kernel on TPU (XLA gathers are scalarized
-    there), searchsorted elsewhere (fast native gathers on CPU)."""
+    """MIEKKI_INTERSECT=auto|pallas|bitonic|searchsorted|mxu (env).  auto:
+    the Pallas VMEM bitonic-merge kernel on TPU (XLA gathers are scalarized
+    there), searchsorted elsewhere (fast native gathers on CPU).  mxu: the
+    stream-pass one-hot-matmul counter (ops/mxu_intersect.py) — host-
+    synchronizing (resolves ambiguous pairs eagerly), so only valid from
+    host-orchestrated callers like engine.dist_tiles, NOT inside jit/scan
+    (the ring passes its impl explicitly)."""
     import os
 
     impl = os.environ.get("MIEKKI_INTERSECT", "auto").lower()
@@ -204,7 +208,12 @@ def tile_counts(rows: u64.Pair, cols: u64.Pair, s: int, impl: str = None):
     effect (ADVICE r1: trace-time env reads were silently pinned).  Callers
     inside a traced context (the ring) should pass `impl` explicitly.
     """
-    return _tile_counts(rows, cols, s, impl or _intersect_impl())
+    impl = impl or _intersect_impl()
+    if impl == "mxu":
+        from . import mxu_intersect
+
+        return mxu_intersect.tile_counts_mxu_exact(rows, cols, s)
+    return _tile_counts(rows, cols, s, impl)
 
 
 @partial(jax.jit, static_argnames=("s", "impl"))

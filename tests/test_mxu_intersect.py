@@ -1,0 +1,185 @@
+"""MXU stream-pass tile counts vs the sort-merge reference (exactness of
+inter/union, validity of the shared_in_x lb/ub bounds, band-overflow
+detection, and end-to-end parity of tile_counts_mxu_exact)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from miekki_tpu.ops import intersect, mxu_intersect, u64
+from miekki_tpu.oracle import sketch as oracle_sketch
+
+
+def stack_pair(sketches, s):
+    arr = np.stack([oracle_sketch.pad_sketch(x, s) for x in sketches])
+    hi, lo = u64.split(arr)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def random_sketch(rng, n_values, value_range, s):
+    vals = np.unique(rng.integers(0, value_range, size=n_values, dtype=np.uint64))
+    return vals[:s]
+
+
+def reference_tile(rows, cols, s):
+    """Per-pair pair_counts_merge over the tile (the proven oracle)."""
+    ti = rows[0].shape[0]
+    tj = cols[0].shape[0]
+    out = {k: np.zeros((ti, tj), np.int32)
+           for k in ("shared_in_x", "union_size", "inter_full", "n_a", "n_b")}
+    for i in range(ti):
+        for j in range(tj):
+            got = intersect.pair_counts_merge(
+                (rows[0][i], rows[1][i]), (cols[0][j], cols[1][j]), s)
+            for k in out:
+                out[k][i, j] = int(got[k])
+    return out
+
+
+def check_tile(rows, cols, s, **kw):
+    ref = reference_tile(rows, cols, s)
+    raw = mxu_intersect.tile_counts_mxu(rows, cols, s, **kw)
+    assert not bool(raw["overflow"]), "unexpected band overflow"
+    np.testing.assert_array_equal(np.asarray(raw["inter_full"]), ref["inter_full"])
+    np.testing.assert_array_equal(np.asarray(raw["union_size"]), ref["union_size"])
+    lb = np.asarray(raw["shared_lb"])
+    ub = np.asarray(raw["shared_ub"])
+    assert (lb <= ref["shared_in_x"]).all(), "lb not a lower bound"
+    assert (ub >= ref["shared_in_x"]).all(), "ub not an upper bound"
+    exact = mxu_intersect.tile_counts_mxu_exact(rows, cols, s, **kw)
+    for k in ("shared_in_x", "union_size", "inter_full", "n_a", "n_b"):
+        np.testing.assert_array_equal(exact[k], ref[k], err_msg=k)
+    return lb, ub
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_overlapping_tiles(seed):
+    rng = np.random.default_rng(seed)
+    s = 32
+    # small value range → heavy overlaps, many shared values, short runs
+    rows = stack_pair([random_sketch(rng, 60, 500, s) for _ in range(5)], s)
+    cols = stack_pair([random_sketch(rng, 60, 500, s) for _ in range(7)], s)
+    check_tile(rows, cols, s, chunk=64, band=8)
+
+
+def test_crossing_chunk_ambiguity_resolved():
+    """Dense overlaps + tiny chunks force matches into crossing chunks, so
+    lb != ub for some pairs — the exact wrapper must resolve them all."""
+    rng = np.random.default_rng(99)
+    s = 64
+    base = np.unique(rng.integers(0, 300, size=200, dtype=np.uint64))
+    sketches = []
+    for _ in range(6):
+        mask = rng.random(base.size) < 0.7
+        sketches.append(np.sort(base[mask])[:s])
+    rows = stack_pair(sketches[:3], s)
+    cols = stack_pair(sketches[3:], s)
+    lb, ub = check_tile(rows, cols, s, chunk=16, band=8)
+    assert (lb != ub).any(), "test intended to exercise the ambiguous path"
+
+
+def test_identical_and_disjoint():
+    s = 16
+    a = np.arange(1, 17, dtype=np.uint64) * 7
+    b = a + 1000
+    rows = stack_pair([a, b], s)
+    cols = stack_pair([a, b], s)
+    exact = mxu_intersect.tile_counts_mxu_exact(rows, cols, s, chunk=8, band=4)
+    np.testing.assert_array_equal(exact["inter_full"], [[16, 0], [0, 16]])
+    np.testing.assert_array_equal(exact["shared_in_x"], [[16, 0], [0, 16]])
+    np.testing.assert_array_equal(exact["union_size"], [[16, 16], [16, 16]])
+
+
+def test_short_sketches_inf_padding():
+    rng = np.random.default_rng(5)
+    s = 32
+    rows = stack_pair([random_sketch(rng, 10, 100, s) for _ in range(3)], s)
+    cols = stack_pair([random_sketch(rng, 8, 100, s) for _ in range(3)], s)
+    check_tile(rows, cols, s, chunk=32, band=8)
+
+
+def test_value_zero_ties():
+    """Hash value 0 shared by all sketches (the INF/zero sentinel edge)."""
+    s = 8
+    sk = [np.array([0, 5, 9], dtype=np.uint64),
+          np.array([0, 5, 11], dtype=np.uint64),
+          np.array([0, 9, 11], dtype=np.uint64)]
+    rows = stack_pair(sk, s)
+    cols = stack_pair(sk, s)
+    check_tile(rows, cols, s, chunk=8, band=8)
+
+
+def test_band_overflow_detected_and_fallback():
+    """A value present in more sketches than the band spans must flag
+    overflow, and the exact wrapper must still return oracle counts."""
+    s = 8
+    shared = np.uint64(42)
+    sk = [np.sort(np.array([shared, 100 + 13 * i, 200 + 7 * i], dtype=np.uint64))
+          for i in range(6)]
+    rows = stack_pair(sk[:3], s)
+    cols = stack_pair(sk, s)  # value 42 occupies a 9-slot run > band+1
+    raw = mxu_intersect.tile_counts_mxu(rows, cols, s, chunk=16, band=2)
+    assert bool(raw["overflow"])
+    ref = reference_tile(rows, cols, s)
+    exact = mxu_intersect.tile_counts_mxu_exact(rows, cols, s, chunk=16, band=2)
+    for k in ref:
+        np.testing.assert_array_equal(exact[k], ref[k], err_msg=k)
+
+
+def test_matches_tile_counts_production():
+    """End-to-end: tile_counts_mxu_exact == intersect.tile_counts on a
+    production-shaped (if small) tile."""
+    rng = np.random.default_rng(21)
+    s = 128
+    rows = stack_pair([random_sketch(rng, 300, 5000, s) for _ in range(9)], s)
+    cols = stack_pair([random_sketch(rng, 300, 5000, s) for _ in range(11)], s)
+    want = {k: np.asarray(v)
+            for k, v in intersect.tile_counts(rows, cols, s).items()}
+    got = mxu_intersect.tile_counts_mxu_exact(rows, cols, s, chunk=256, band=8)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+def test_stream_reuse_matches_fresh():
+    """Precomputed block streams (the amortized path) give identical counts."""
+    rng = np.random.default_rng(3)
+    s = 32
+    rows = stack_pair([random_sketch(rng, 60, 400, s) for _ in range(4)], s)
+    cols = stack_pair([random_sketch(rng, 60, 400, s) for _ in range(4)], s)
+    rs = mxu_intersect.sketch_stream(rows, False)
+    cs = mxu_intersect.sketch_stream(cols, True)
+    fresh = mxu_intersect.tile_counts_mxu(rows, cols, s, chunk=64)
+    reused = mxu_intersect.tile_counts_mxu(rows, cols, s, chunk=64,
+                                           row_stream=rs, col_stream=cs)
+    for k in ("inter_full", "shared_lb", "shared_ub"):
+        np.testing.assert_array_equal(np.asarray(fresh[k]), np.asarray(reused[k]))
+
+
+def test_env_dispatch_and_engine_dist_parity(monkeypatch, tmp_path):
+    """MIEKKI_INTERSECT=mxu routes tile_counts to the stream pass and the
+    engine's dist TSV is byte-identical to the default impl."""
+    import sys
+    sys.path.insert(0, "tests")
+    from fixtures import write_fasta, random_seq, mutate
+
+    import miekki_tpu as mk
+
+    rng = np.random.default_rng(77)
+    base = random_seq(rng, 5000)
+    paths = []
+    for i in range(7):
+        f = tmp_path / f"g{i}.fa"
+        write_fasta(f, [(f"genome{i}", mutate(rng, base, 0.02 * i))])
+        paths.append(str(f))
+    idx = mk.build_index(paths, mk.SketchParams(k=21, s=128))
+
+    def rows(impl):
+        monkeypatch.setenv("MIEKKI_INTERSECT", impl)
+        return list(mk.dist_iter(idx))
+
+    default = rows("searchsorted")
+    got = rows("mxu")
+    assert len(default) == len(got) > 0
+    for d, g in zip(default, got):
+        assert d == g

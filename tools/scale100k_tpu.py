@@ -115,7 +115,18 @@ def main() -> int:
           flush=True)
 
     t0 = time.time()
-    syn_hi, syn_lo = synth_sketches(n - n_real, s)
+    # Synthetic planes are deterministic (seed 7) — cache them in the
+    # workdir so retries skip the ~30 min device generation + download.
+    cache_hi = Path(args.workdir) / f"syn_hi_{n - n_real}x{s}.npy"
+    cache_lo = Path(args.workdir) / f"syn_lo_{n - n_real}x{s}.npy"
+    if cache_hi.exists() and cache_lo.exists():
+        syn_hi = np.load(cache_hi, mmap_mode="r")
+        syn_lo = np.load(cache_lo, mmap_mode="r")
+        print("[100k] loaded cached synthetic planes", flush=True)
+    else:
+        syn_hi, syn_lo = synth_sketches(n - n_real, s)
+        np.save(cache_hi, syn_hi)
+        np.save(cache_lo, syn_lo)
     hi = np.concatenate([real_idx.hi, syn_hi])
     lo = np.concatenate([real_idx.lo, syn_lo])
     del syn_hi, syn_lo
