@@ -278,21 +278,31 @@ def dist_tiles(
     ti_flat = np.repeat(np.arange(tile, dtype=np.int64), tile)
     tj_flat = np.tile(np.arange(tile, dtype=np.int64), tile)
 
+    impl = _intersect._intersect_impl()
     for bi in range(nb_a):
+        rows = (
+            jnp.asarray(a_hi[bi * tile : (bi + 1) * tile]),
+            jnp.asarray(a_lo[bi * tile : (bi + 1) * tile]),
+        )
+        row_stream = None  # mxu: sort the row block once per bi, reuse nb_b×
         for bj in range(nb_b):
             if self_compare and bj < bi:
                 continue
             if skip_tiles and (bi, bj) in skip_tiles:
                 continue
-            rows = (
-                jnp.asarray(a_hi[bi * tile : (bi + 1) * tile]),
-                jnp.asarray(a_lo[bi * tile : (bi + 1) * tile]),
-            )
             cols = (
                 jnp.asarray(b_hi[bj * tile : (bj + 1) * tile]),
                 jnp.asarray(b_lo[bj * tile : (bj + 1) * tile]),
             )
-            counts = _intersect.tile_counts(rows, cols, s)
+            if impl == "mxu":
+                from .ops import mxu_intersect as _mxu
+
+                if row_stream is None:
+                    row_stream = _mxu.sketch_stream(rows, False)
+                counts = _mxu.tile_counts_mxu_exact(
+                    rows, cols, s, row_stream=row_stream)
+            else:
+                counts = _intersect.tile_counts(rows, cols, s, impl)
             shared = np.asarray(counts["shared_in_x"]).ravel()
             union = np.asarray(counts["union_size"]).ravel()
             inter = np.asarray(counts["inter_full"]).ravel()
