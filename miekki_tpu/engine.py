@@ -279,6 +279,37 @@ def dist_tiles(
     tj_flat = np.tile(np.arange(tile, dtype=np.int64), tile)
 
     impl = _intersect._intersect_impl()
+
+    # Column blocks (and, for mxu, their sorted streams) are re-visited by
+    # every row block; cache them on device up to a byte budget so each is
+    # uploaded/sorted once instead of nb_a times (the tunnel re-uploads at
+    # ~0.4 GB/s and the mxu stream sort is a 5M-element device sort).
+    # FIFO eviction; self-compare's upper-triangle sweep revisits a sliding
+    # bj window, so even a partial cache gets most of the reuse.
+    import os as _os
+
+    bytes_per_block = tile * s * (20 if impl == "mxu" else 8)
+    cache_mb = int(_os.environ.get("MIEKKI_COL_CACHE_MB", "2048"))
+    cache_cap = max(1, (cache_mb << 20) // max(1, bytes_per_block))
+    col_cache: dict = {}
+
+    def col_block(bj: int):
+        if bj in col_cache:
+            return col_cache[bj]
+        cols = (
+            jnp.asarray(b_hi[bj * tile : (bj + 1) * tile]),
+            jnp.asarray(b_lo[bj * tile : (bj + 1) * tile]),
+        )
+        stream = None
+        if impl == "mxu":
+            from .ops import mxu_intersect as _mxu
+
+            stream = _mxu.sketch_stream(cols, True)
+        while len(col_cache) >= cache_cap:
+            col_cache.pop(next(iter(col_cache)))
+        col_cache[bj] = (cols, stream)
+        return cols, stream
+
     for bi in range(nb_a):
         rows = (
             jnp.asarray(a_hi[bi * tile : (bi + 1) * tile]),
@@ -290,17 +321,15 @@ def dist_tiles(
                 continue
             if skip_tiles and (bi, bj) in skip_tiles:
                 continue
-            cols = (
-                jnp.asarray(b_hi[bj * tile : (bj + 1) * tile]),
-                jnp.asarray(b_lo[bj * tile : (bj + 1) * tile]),
-            )
+            cols, col_stream = col_block(bj)
             if impl == "mxu":
                 from .ops import mxu_intersect as _mxu
 
                 if row_stream is None:
                     row_stream = _mxu.sketch_stream(rows, False)
                 counts = _mxu.tile_counts_mxu_exact(
-                    rows, cols, s, row_stream=row_stream)
+                    rows, cols, s, row_stream=row_stream,
+                    col_stream=col_stream)
             else:
                 counts = _intersect.tile_counts(rows, cols, s, impl)
             shared = np.asarray(counts["shared_in_x"]).ravel()
@@ -578,6 +607,27 @@ class _BlockFormatter:
         return "\n".join(parts.tolist()) + "\n", n
 
 
+# Pairs per _BlockFormatter.format call in the streaming writers.  The
+# format pass builds UCS4 row-string intermediates (~100 chars x 4 B per
+# pair, doubled per np.char.add step); capping the call bounds peak RSS at
+# ~1 GB regardless of stripe width (a 512 x 102,400 stripe formatted in one
+# call was a multi-GB spike at scale100k shapes).
+FORMAT_CHUNK = 1 << 20
+
+
+def _format_write(fmt: "_BlockFormatter", out, gi, gj, sh, un, it,
+                  chunk: int = FORMAT_CHUNK) -> int:
+    """Format (already ordered) pair arrays in bounded chunks; returns rows
+    written.  Chunks are sequential slices, so output order is unchanged."""
+    n_rows = 0
+    for a in range(0, gi.shape[0], chunk):
+        sl = np.s_[a : a + chunk]
+        text, n = fmt.format(gi[sl], gj[sl], sh[sl], un[sl], it[sl])
+        out.write(text)
+        n_rows += n
+    return n_rows
+
+
 def dist_tsv_write(
     out,
     index_a: SketchIndex,
@@ -613,10 +663,8 @@ def dist_tsv_write(
                 return
             gi, gj, sh, un, it = (np.concatenate(x) for x in zip(*stripe))
             order = np.lexsort((gj, gi))
-            text, n = fmt.format(gi[order], gj[order], sh[order], un[order],
-                                 it[order])
-            out.write(text)
-            n_rows += n
+            n_rows += _format_write(fmt, out, gi[order], gj[order],
+                                    sh[order], un[order], it[order])
             stripe.clear()
 
         for bi, bj, gi, gj, sh, un, it in dist_tiles(index_a, index_b, tile):
@@ -671,9 +719,7 @@ def counts_tsv_write(
         sh = np.asarray(shared)[gi, gj]
         un = np.asarray(union)[gi, gj]
         it = np.asarray(inter)[gi, gj]
-        text, n = fmt.format(gi, gj, sh, un, it)
-        out.write(text)
-        n_rows += n
+        n_rows += _format_write(fmt, out, gi, gj, sh, un, it)
     return n_rows
 
 
@@ -872,25 +918,50 @@ def _prefetch(it: Iterator, depth: int = 2) -> Iterator:
 
     q: _queue.Queue = _queue.Queue(maxsize=depth)
     _END = object()
+    stop = _threading.Event()
+
+    def put_checked(item) -> bool:
+        # bounded put with a stop check: if the consumer abandons iteration
+        # (device error, KeyboardInterrupt), a plain q.put would block
+        # forever and leak the thread + the open stream handle it holds
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def run():
         try:
             for item in it:
-                q.put(item)
-            q.put(_END)
+                if not put_checked(item):
+                    return
+            put_checked(_END)
         except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
-            q.put(e)
+            put_checked(e)
 
     t = _threading.Thread(target=run, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+    finally:
+        stop.set()
+        if hasattr(it, "close"):
+            # release the underlying stream promptly (generators holding
+            # native handles); the thread exits on its next stop check
+            try:
+                t.join(timeout=5.0)
+                it.close()
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
 
 
 def _packed_read_batches(path, k: int, flat: int) -> Iterator[np.ndarray]:

@@ -171,6 +171,19 @@ def _intersect_impl() -> str:
     return impl
 
 
+def _intersect_impl_traced() -> str:
+    """Like _intersect_impl, but safe to pass into jit/scan/shard_map
+    regions: the host-synchronizing ``mxu`` choice (which calls bool() on
+    its overflow flag and dispatches ambiguous pairs eagerly) is mapped to
+    the backend's traceable default instead of crashing at trace time with
+    a TracerBoolConversionError.  Used by the ring paths and any other
+    caller that bakes the impl into a traced computation."""
+    impl = _intersect_impl()
+    if impl == "mxu":
+        impl = "pallas" if jax.default_backend() == "tpu" else "searchsorted"
+    return impl
+
+
 def _pad_pow2(p: u64.Pair) -> u64.Pair:
     """INF-pad the sketch width to a power of two, minimum 128: the XLA
     bitonic network needs pow2 strides."""
@@ -227,6 +240,11 @@ def _tile_counts(rows: u64.Pair, cols: u64.Pair, s: int, impl: str):
         from . import pallas_intersect as _pi
 
         return _pi.tile_counts_pallas(_pad_lane(rows), _pad_lane(cols), s)
+
+    if impl not in ("pallas", "bitonic", "searchsorted"):
+        raise ValueError(
+            f"unknown intersect impl {impl!r} for the jitted tile path "
+            "(mxu is host-orchestrated: route through tile_counts)")
 
     if impl == "bitonic":
         rows = _pad_pow2(rows)

@@ -189,9 +189,13 @@ def tile_counts_mxu_exact(rows: u64.Pair, cols: u64.Pair, s: int, *,
     out = tile_counts_mxu(rows, cols, s, chunk=chunk, band=band,
                           row_stream=row_stream, col_stream=col_stream)
     if bool(out["overflow"]):
-        from .intersect import _tile_counts, _intersect_impl
-        return jax.tree.map(np.asarray,
-                            _tile_counts(rows, cols, s, _intersect_impl()))
+        # _intersect_impl() would return "mxu" here (that's how we were
+        # reached); resolve to the backend's traceable kernel instead —
+        # _tile_counts has no mxu branch and its else-branch is the
+        # scalarized-gather searchsorted path, pathological on TPU.
+        from .intersect import _tile_counts, _intersect_impl_traced
+        return jax.tree.map(
+            np.asarray, _tile_counts(rows, cols, s, _intersect_impl_traced()))
     lb = np.asarray(out["shared_lb"])
     ub = np.asarray(out["shared_ub"])
     res = {

@@ -249,7 +249,7 @@ def dist_sharded(
             jnp.asarray(a_hi), jnp.asarray(a_lo),
             jnp.asarray(b_hi), jnp.asarray(b_lo),
             s=index_a.params.s, mesh=mesh, axis=axis,
-            impl=_intersect._intersect_impl(),
+            impl=_intersect._intersect_impl_traced(),
         )
         sl = np.s_[:n_a, :n_b]
         return {"shared": np.asarray(shared)[sl],
@@ -260,7 +260,7 @@ def dist_sharded(
     hi, lo = pad_to(index_a.hi, index_a.lo)
     shared, union, inter = ring_all_vs_all_counts(
         jnp.asarray(hi), jnp.asarray(lo), s=index_a.params.s, mesh=mesh,
-        axis=axis, impl=_intersect._intersect_impl()
+        axis=axis, impl=_intersect._intersect_impl_traced()
     )
     sl = np.s_[:n_a, :n_a]
     return {"shared": np.asarray(shared)[sl],

@@ -268,12 +268,21 @@ int refill(Stream* st, size_t want) {
       st->carry.resize(base + buf.size());
       size_t got = std::fread(st->carry.data() + base, 1, buf.size(), st->f);
       st->carry.resize(base + got);
-      if (got < buf.size()) { st->file_eof = true; break; }
+      if (got < buf.size()) {
+        // short read = EOF only if no stream error: a mid-file I/O fault
+        // must surface, not silently truncate the record stream (the
+        // whole-file path returns kErrOpen on short reads the same way)
+        if (std::ferror(st->f)) return kErrOpen;
+        st->file_eof = true;
+        break;
+      }
       continue;
     }
     if (st->in_pos == st->in_len) {
       st->in_len = std::fread(st->inbuf.data(), 1, st->inbuf.size(), st->f);
       st->in_pos = 0;
+      if (st->in_len < st->inbuf.size() && std::ferror(st->f))
+        return kErrOpen;  // I/O fault, not EOF — never truncate silently
       if (st->in_len == 0) {
         st->file_eof = true;
         // a truncated member (no Z_STREAM_END) is an error, matching the

@@ -138,3 +138,99 @@ def test_rows_from_count_matrices_containment_parity(db):
         for key in ("shared", "union", "containment_q", "containment_r",
                     "ani_containment", "p_value"):
             assert rd[key] == rp[key], key
+
+
+# ---- round-2 self-review regression tests (session 2) --------------------
+
+
+def test_ring_with_mxu_env_is_traceable(db, monkeypatch):
+    """MIEKKI_INTERSECT=mxu must not crash the traced ring: the host-
+    synchronizing mxu impl is mapped to the backend default inside
+    jit/scan/shard_map (it used to raise TracerBoolConversionError), and
+    results stay identical to the default impl."""
+    from miekki_tpu.index.store import SketchIndex
+    from miekki_tpu.parallel import dist_sharded, local_mesh
+    from miekki_tpu.parallel.mesh import DB_AXIS
+
+    idx = SketchIndex.load(db)
+    mesh = local_mesh(axis_names=(DB_AXIS,))
+    monkeypatch.delenv("MIEKKI_INTERSECT", raising=False)
+    ref = dist_sharded(idx, mesh)
+    monkeypatch.setenv("MIEKKI_INTERSECT", "mxu")
+    got = dist_sharded(idx, mesh)
+    for key in ("shared", "union", "inter"):
+        assert np.array_equal(ref[key], got[key])
+
+
+def test_jitted_tile_path_rejects_mxu_impl():
+    """_tile_counts must reject the host-orchestrated mxu impl explicitly
+    instead of silently falling through to the searchsorted path."""
+    from miekki_tpu.ops import intersect, u64
+
+    rows = u64.inf_like((4, 16))
+    with pytest.raises(ValueError, match="mxu"):
+        intersect._tile_counts(rows, rows, 8, "mxu")
+
+
+def test_prefetch_releases_thread_on_abandoned_iteration():
+    """Abandoning a _prefetch iterator mid-stream must not leak a producer
+    thread blocked on the bounded queue (nor keep the source generator
+    open)."""
+    import threading
+    import time
+
+    closed = {"flag": False}
+
+    def source():
+        try:
+            i = 0
+            while True:
+                yield np.zeros(4, np.uint8) + i
+                i += 1
+        finally:
+            closed["flag"] = True
+
+    before = threading.active_count()
+    it = engine._prefetch(source(), depth=2)
+    assert next(it) is not None
+    it.close()  # consumer abandons
+    deadline = time.time() + 10.0
+    while time.time() < deadline:
+        if threading.active_count() <= before and closed["flag"]:
+            break
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+    assert closed["flag"], "source generator not closed"
+
+
+def test_prefetch_propagates_exception():
+    def source():
+        yield np.ones(2)
+        raise RuntimeError("boom")
+
+    it = engine._prefetch(source(), depth=2)
+    assert next(it) is not None
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)
+
+
+def test_format_write_chunking_byte_identical(db):
+    """_format_write in tiny chunks must emit byte-identical TSV text to a
+    single format call (the chunking bounds peak RSS at pod-scale stripes)."""
+    import io
+
+    from miekki_tpu.index.store import SketchIndex
+
+    idx = SketchIndex.load(db)
+    tiles = list(engine.dist_tiles(idx, tile=4))
+    gi, gj, sh, un, it = (
+        np.concatenate(x) for x in zip(*[t[2:] for t in tiles])
+    )
+    order = np.lexsort((gj, gi))
+    gi, gj, sh, un, it = (x[order] for x in (gi, gj, sh, un, it))
+    fmt = engine._BlockFormatter(idx, None)
+    one, n_one = fmt.format(gi, gj, sh, un, it)
+    buf = io.StringIO()
+    n_chunked = engine._format_write(fmt, buf, gi, gj, sh, un, it, chunk=3)
+    assert n_chunked == n_one
+    assert buf.getvalue() == one

@@ -78,7 +78,7 @@ def main() -> int:
                     axis=-1)
     hi = jnp.asarray((table >> np.uint64(32)).astype(np.uint32))
     lo = jnp.asarray((table & np.uint64(0xFFFFFFFF)).astype(np.uint32))
-    impl = _intersect._intersect_impl()
+    impl = _intersect._intersect_impl_traced()
 
     def ring_body(rows_hi, rows_lo):
         perm = [(i, (i + 1) % D) for i in range(D)]
