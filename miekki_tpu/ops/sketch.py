@@ -288,7 +288,11 @@ def _sketch_chunked(chunks: jax.Array, k: int, s: int, group: int,
         out, _ = jax.lax.scan(body, empty_sketch(s), blocks)
         return out
 
-    if strategy == "tree" and blocks.shape[0] >= 2 * MERGE_EVERY:
+    # Group merging pays off as soon as >1 step follows the warmup (the
+    # remainder-group machinery never hashes padded blocks, so there is no
+    # minimum-size tax); a real ~4.6 Mbase genome (16 pow2-bucketed steps)
+    # now does 2 warmup merges + 2 group merges instead of 16 per-step ones.
+    if strategy == "tree" and blocks.shape[0] > WARMUP_STEPS + 1:
         return _sketch_group_merged(blocks, k, s, hash_impl)
 
     def body(carry, block):
@@ -308,6 +312,19 @@ def _sketch_chunked(chunks: jax.Array, k: int, s: int, group: int,
 # mix, was the bound).
 MERGE_EVERY = 8
 
+# Per-step-merged warmup steps before group merging starts.  Two steps
+# (~1 Mbase at the auto group size) pin the sketch threshold to the s-th
+# min of ~1M hashes: the survivor rate for later blocks is then ~s/1e6 ≈
+# 1%, i.e. Poisson(λ≈1.3) candidates per 128-lane tree row — overflow of
+# the 32-per-row tree cap is ~1e-25 per row, so the group path's expensive
+# whole-group fallback is unreachable for random genomes (adversarially
+# repetitive genomes still fall back, exactly — same as at any warmup
+# length, since their threshold stays loose regardless).  Warmup used to
+# be MERGE_EVERY=8 steps, which meant a real bacterial genome (~4.6 Mbase
+# ≈ 9 steps) paid a 0.37 ms sort-dedup merge on nearly every step and
+# never benefited from group merging at all.
+WARMUP_STEPS = 2
+
 
 def _sketch_group_merged(blocks: jax.Array, k: int, s: int,
                          hash_impl: str) -> u64.Pair:
@@ -323,7 +340,7 @@ def _sketch_group_merged(blocks: jax.Array, k: int, s: int,
     applied per-block."""
     n_steps, g, w = blocks.shape
 
-    # Warmup head: the first MERGE_EVERY steps run with a per-step merge so
+    # Warmup head: the first WARMUP_STEPS steps run with a per-step merge so
     # the cold-sketch overflow fallback (threshold = +inf → every hash
     # survives) fires at most once on a single block, not on a whole group.
     def head_body(carry, block):
@@ -332,53 +349,61 @@ def _sketch_group_merged(blocks: jax.Array, k: int, s: int,
         return merge_into_sketch(carry, flat, s, strategy="tree"), None
 
     warm, _ = jax.lax.scan(head_body, empty_sketch(s),
-                           blocks[:MERGE_EVERY])
-    blocks = blocks[MERGE_EVERY:]
+                           blocks[:WARMUP_STEPS])
+    tail = blocks[WARMUP_STEPS:]
 
-    pad_steps = -blocks.shape[0] % MERGE_EVERY
-    if pad_steps:
-        blocks = jnp.pad(blocks, ((0, pad_steps), (0, 0), (0, 0)),
-                         constant_values=_hash.INVALID_CODE)
-    groups = blocks.reshape(-1, MERGE_EVERY, g, w)
+    def make_group_body(m: int):
+        """Group body over m blocks (m = MERGE_EVERY for the full-group
+        scan; the remainder group runs the same machinery at its exact
+        size, so no padded all-INVALID blocks are ever hashed)."""
 
-    def group_body(carry, group):
-        thr = (carry[0][s - 1], carry[1][s - 1])
-        cands = []
-        overflow = jnp.bool_(False)
-        for i in range(MERGE_EVERY):
-            h = _hash_rows(group[i], k, impl=hash_impl)
-            flat = (h[0].reshape(-1), h[1].reshape(-1))
-            keep = u64.less(flat, thr)
-            cand = u64.where(keep, flat, u64.inf_like(keep.shape))
-            while cand[0].size > 2 * CAND_BUDGET:
-                cand, of = _tree_level(cand)
-                overflow = overflow | of
-            cands.append(cand)
-        cat = (jnp.concatenate([c[0] for c in cands]),
-               jnp.concatenate([c[1] for c in cands]))
-        while cat[0].size > 2 * CAND_BUDGET:
-            cat, of = _tree_level(cat)
-            overflow = overflow | of
-        small = _merge_sorted_trunc(carry, cat, s)
-
-        def fb_body(_state):
-            # exact path: re-hash and merge every raw hash of the group
-            # (fires only on adversarial input — the warmup head absorbs
-            # the cold sketch).  Hashes are recomputed HERE rather than
-            # kept live from the fast path: keeping 8 raw hash blocks
-            # alive across the group would stop XLA fusing the
-            # hash→threshold→tree chain per step.
-            out = carry
-            for i in range(MERGE_EVERY):
+        def group_body(carry, group):
+            thr = (carry[0][s - 1], carry[1][s - 1])
+            cands = []
+            overflow = jnp.bool_(False)
+            for i in range(m):
                 h = _hash_rows(group[i], k, impl=hash_impl)
-                out = _merge_sorted_trunc(
-                    out, (h[0].reshape(-1), h[1].reshape(-1)), s)
-            return jnp.bool_(False), out
+                flat = (h[0].reshape(-1), h[1].reshape(-1))
+                keep = u64.less(flat, thr)
+                cand = u64.where(keep, flat, u64.inf_like(keep.shape))
+                while cand[0].size > 2 * CAND_BUDGET:
+                    cand, of = _tree_level(cand)
+                    overflow = overflow | of
+                cands.append(cand)
+            cat = (jnp.concatenate([c[0] for c in cands]),
+                   jnp.concatenate([c[1] for c in cands]))
+            while cat[0].size > 2 * CAND_BUDGET:
+                cat, of = _tree_level(cat)
+                overflow = overflow | of
+            small = _merge_sorted_trunc(carry, cat, s)
 
-        _, out = lax.while_loop(lambda st: st[0], fb_body, (overflow, small))
-        return out, None
+            def fb_body(_state):
+                # exact path: re-hash and merge every raw hash of the group
+                # (fires only on adversarial input — the warmup head absorbs
+                # the cold sketch).  Hashes are recomputed HERE rather than
+                # kept live from the fast path: keeping m raw hash blocks
+                # alive across the group would stop XLA fusing the
+                # hash→threshold→tree chain per step.
+                out = carry
+                for i in range(m):
+                    h = _hash_rows(group[i], k, impl=hash_impl)
+                    out = _merge_sorted_trunc(
+                        out, (h[0].reshape(-1), h[1].reshape(-1)), s)
+                return jnp.bool_(False), out
 
-    out, _ = jax.lax.scan(group_body, warm, groups)
+            _, out = lax.while_loop(
+                lambda st: st[0], fb_body, (overflow, small))
+            return out, None
+
+        return group_body
+
+    q, r = divmod(tail.shape[0], MERGE_EVERY)
+    out = warm
+    if q:
+        groups = tail[: q * MERGE_EVERY].reshape(q, MERGE_EVERY, g, w)
+        out, _ = jax.lax.scan(make_group_body(MERGE_EVERY), out, groups)
+    if r:
+        out, _ = make_group_body(r)(out, tail[q * MERGE_EVERY :])
     return out
 
 

@@ -287,3 +287,25 @@ class TestGroupMergedSketch:
         got = self._run(rows, k, s, "tree")
         want = self._run(rows, k, s, "sort")
         assert np.array_equal(got, want)
+
+
+def test_group_merge_gate_and_remainder_sizes():
+    """The lowered group-path gate (> WARMUP_STEPS + 1 steps) and the exact
+    remainder group (tail % MERGE_EVERY blocks, no padded work) must stay
+    bitwise-equal to the branch-free sort strategy at every step count
+    around the boundaries — covers q=0/r>0, q>0/r=0 and q>0/r>0 shapes."""
+    import jax.numpy as jnp
+    from miekki_tpu.ops import sketch as S, u64
+
+    rng = np.random.default_rng(99)
+    k, s, w = 21, 200, 128 + 20
+    for n_steps in (2, 3, 4, 7, 8, 10, 16, 19):
+        rows = rng.integers(0, 4, size=(2 * n_steps, w), dtype=np.int64
+                            ).astype(np.uint8)
+
+        def run(strategy):
+            hi, lo = S.sketch_chunked(jnp.asarray(rows), k, s, group=2,
+                                      strategy=strategy, hash_impl="xla")
+            return u64.join(np.asarray(hi), np.asarray(lo))
+
+        assert np.array_equal(run("tree"), run("sort")), n_steps
