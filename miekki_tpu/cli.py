@@ -264,6 +264,24 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_compress(args) -> int:
+    """Convert a raw index to 32-bit compact fingerprints (ops/compact.py:
+    monotone float-like codes, HyperMinHash-style — PAPERS.md).  Halves the
+    index file; jaccard/containment gain a ~3e-4 collision bias.  Compact
+    and raw indexes are incomparable (params keyed)."""
+    index = SketchIndex.load(args.db)
+    if index.params.compact:
+        print("index is already compact", file=sys.stderr)
+        return 1
+    index.to_compact().save(args.output)
+    import os
+
+    print(f"compressed {len(index)} genomes: "
+          f"{os.path.getsize(args.db)} -> {os.path.getsize(args.output)} "
+          "bytes", file=sys.stderr)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     from . import __version__
 
@@ -349,6 +367,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", "--dump", action="store_true",
                    help="dump full sketch hashes as JSON (mash info -d)")
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("compress", help="convert an index to 32-bit compact "
+                       "fingerprints (half size, ~3e-4 jaccard bias)")
+    p.add_argument("db")
+    p.add_argument("-o", "--output", required=True)
+    p.set_defaults(fn=cmd_compress)
 
     p = sub.add_parser("merge", help="concatenate sketch indexes "
                        "(mash paste analog)")

@@ -806,7 +806,8 @@ def _flatten_db(index: SketchIndex):
     return flat[order], gid[order]
 
 
-def _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes, k: int):
+def _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes,
+                        k: int, compact: bool = False):
     """One screening step over a packed read batch (trace-level body; the
     jitted entry is _screen_update; miekki_tpu.parallel.screen reuses this
     inside shard_map).
@@ -822,6 +823,16 @@ def _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes, k: int):
     h, _ = _hash.hash_windows(flat_codes, k)
     n = h[0].shape[0]
     n_valid = jnp.sum((~u64.is_inf(h)).astype(jnp.int32))
+    if compact:
+        # compact DB: values are 32-bit monotone codes embedded as
+        # (code, 0) pairs — map read hashes into the same domain (the
+        # transform is monotone, so the threshold prefilter and the
+        # sorted join below work unchanged; ops/compact.py)
+        from .ops import compact as _compact_ops
+
+        code = _compact_ops.encode_pair(h[0], h[1])
+        sent = code == jnp.uint32(0xFFFFFFFF)
+        h = (code, jnp.where(sent, jnp.uint32(0xFFFFFFFF), jnp.uint32(0)))
     keep = ~u64.less((thr_hi, thr_lo), h)  # h <= thr; INF never kept
     n_keep = jnp.sum(keep.astype(jnp.int32))
     # Stable partition survivors to the front (sort by position-keyed int32;
@@ -863,10 +874,11 @@ def _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes, k: int):
     return acc, n_valid, n_keep
 
 
-@partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
-def _screen_update(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes, k: int):
+@partial(jax.jit, static_argnames=("k", "compact"), donate_argnums=(0,))
+def _screen_update(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes, k: int,
+                   compact: bool = False):
     return _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo,
-                               flat_codes, k)
+                               flat_codes, k, compact)
 
 
 def _packed_read_batches_fast(path, k: int, flat: int) -> Iterator[np.ndarray]:
@@ -1103,7 +1115,8 @@ def screen(
         # (asynchronously dispatched) device screen of batch t
         for batch in _prefetch(_packed_read_batches(path, k, flat)):
             acc, n_valid, n_keep = _screen_update(
-                acc, db_hi, db_lo, thr_hi, thr_lo, jnp.asarray(batch), k)
+                acc, db_hi, db_lo, thr_hi, thr_lo, jnp.asarray(batch), k,
+                index.params.compact)
             counters.append((n_valid, n_keep))
     if stats is not None:
         tot_windows = sum(int(v) for v, _ in counters)

@@ -40,25 +40,28 @@ except AttributeError:  # pragma: no cover
 
 
 def _screen_step_local(acc, db_hi, db_lo, thr_hi, thr_lo, batch, *, k: int,
-                       axis: str):
+                       axis: str, compact: bool = False):
     """Per-device body: screen this device's batch shard, then OR-merge the
     bitmaps across the mesh axis.  batch: [1, F + k - 1] shard.  Also
     returns psum'd (n_windows, n_survivors) prefilter counters."""
     upd, n_valid, n_keep = _screen_update_impl(acc, db_hi, db_lo, thr_hi[0],
-                                               thr_lo[0], batch[0], k)
+                                               thr_lo[0], batch[0], k,
+                                               compact)
     merged = lax.pmax(upd.astype(jnp.int32), axis) > 0
     return (merged, lax.psum(n_valid, axis)[None],
             lax.psum(n_keep, axis)[None])
 
 
-@partial(jax.jit, static_argnames=("k", "mesh", "axis"), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("k", "mesh", "axis", "compact"),
+         donate_argnums=(0,))
 def screen_step_sharded(acc, db_hi, db_lo, thr_hi, thr_lo, batches, *,
-                        k: int, mesh: Mesh, axis: str = DATA_AXIS):
+                        k: int, mesh: Mesh, axis: str = DATA_AXIS,
+                        compact: bool = False):
     """One sharded screening step over a [D, F + k - 1] group of packed
     read batches.  acc: bool[M + 1] replicated; returns the updated acc."""
     rep = P(None)
     return shard_map(
-        partial(_screen_step_local, k=k, axis=axis),
+        partial(_screen_step_local, k=k, axis=axis, compact=compact),
         mesh=mesh,
         in_specs=(rep, rep, rep, rep, rep, P(axis, None)),
         out_specs=(rep, rep, rep),
@@ -85,22 +88,23 @@ def _batch_groups(path, k: int, flat: int, group: int) -> Iterator[np.ndarray]:
 
 
 def _screen_step_local_dbshard(acc, db_hi, db_lo, thr_hi, thr_lo, batch, *,
-                               k: int, axis: str):
+                               k: int, axis: str, compact: bool = False):
     """Per-device body with a DB shard: [1, Ms+1] acc, [1, Ms] db planes,
     [1, F + k - 1] batch shard.  Survivors whose value lives in another
     shard simply find no match here; merging over the data axis only."""
     upd, n_valid, n_keep = _screen_update_impl(acc[0], db_hi[0], db_lo[0],
                                                thr_hi[0], thr_lo[0],
-                                               batch[0], k)
+                                               batch[0], k, compact)
     return ((lax.pmax(upd.astype(jnp.int32), axis) > 0)[None],
             lax.psum(n_valid, axis)[None], lax.psum(n_keep, axis)[None])
 
 
-@partial(jax.jit, static_argnames=("k", "mesh", "data_axis", "db_axis"),
+@partial(jax.jit, static_argnames=("k", "mesh", "data_axis", "db_axis",
+                                   "compact"),
          donate_argnums=(0,))
 def screen_step_db_sharded(acc, db_hi, db_lo, thr_hi, thr_lo, batches, *,
                            k: int, mesh: Mesh, data_axis: str = DATA_AXIS,
-                           db_axis: str = "db"):
+                           db_axis: str = "db", compact: bool = False):
     """One screening step with BOTH axes sharded: the flat DB split into
     [D_db, Ms] shards (each value-sorted) and read batches [D_data, F+k-1]
     data-parallel.  Device (a, b) screens batch a against DB shard b; hit
@@ -108,7 +112,8 @@ def screen_step_db_sharded(acc, db_hi, db_lo, thr_hi, thr_lo, batches, *,
     acc: bool[D_db, Ms + 1] (per-shard sink slot)."""
     rep = P(None)
     return shard_map(
-        partial(_screen_step_local_dbshard, k=k, axis=data_axis),
+        partial(_screen_step_local_dbshard, k=k, axis=data_axis,
+                compact=compact),
         mesh=mesh,
         in_specs=(P(db_axis, None), P(db_axis, None), P(db_axis, None),
                   rep, rep, P(data_axis, None)),
@@ -152,7 +157,7 @@ def screen_sharded(
     for group in _batch_groups(reads_path, k, flat, d):
         acc, nv, nk = screen_step_sharded(
             acc, db_hi, db_lo, thr_hi, thr_lo, jnp.asarray(group),
-            k=k, mesh=mesh, axis=axis,
+            k=k, mesh=mesh, axis=axis, compact=index.params.compact,
         )
         counters.append((nv, nk))
     _fill_stats(stats, counters)
@@ -208,6 +213,7 @@ def _screen_sharded_2d(index, reads_path, mesh, data_axis, db_axis, flat,
         acc, nv, nk = screen_step_db_sharded(
             acc, db_hi, db_lo, thr_hi, thr_lo, jnp.asarray(group),
             k=k, mesh=mesh, data_axis=data_axis, db_axis=db_axis,
+            compact=index.params.compact,
         )
         counters.append((nv, nk))
     _fill_stats(stats, counters)

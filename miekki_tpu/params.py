@@ -31,11 +31,17 @@ class SketchParams:
          retained per genome (bottom-s MinHash).
       hash_version: identifier of the rolling-hash spec; sketches with
          different hash versions are incomparable.
+      compact: True when sketch values are stored as 32-bit monotone
+         fingerprints (ops/compact.py — HyperMinHash-style 2x index
+         compression, PAPERS.md).  Compact and raw sketches are
+         incomparable (equality semantics differ), which the dataclass
+         equality in validate_compatible enforces automatically.
     """
 
     k: int = DEFAULT_K
     s: int = DEFAULT_S
     hash_version: str = HASH_VERSION
+    compact: bool = False
 
     def __post_init__(self) -> None:
         if not (1 <= self.k <= 64):
@@ -56,4 +62,6 @@ class SketchParams:
 
     @classmethod
     def from_dict(cls, d: dict) -> "SketchParams":
-        return cls(k=int(d["k"]), s=int(d["s"]), hash_version=str(d["hash_version"]))
+        return cls(k=int(d["k"]), s=int(d["s"]),
+                   hash_version=str(d["hash_version"]),
+                   compact=bool(d.get("compact", False)))

@@ -1,0 +1,195 @@
+"""Compact (32-bit fingerprint) sketch tests — ops/compact.py, the
+HyperMinHash-style index compression (PAPERS.md; SURVEY.md §7 "Open items"
+flags compressed fingerprints as a possible reference behavior).
+
+Key properties: the code transform is monotone (sorted machinery works
+unchanged), host/device encoders are bit-identical, and the collision-induced
+jaccard bias is far below the bottom-s estimator's own sampling noise."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from miekki_tpu import engine
+from miekki_tpu.index.store import SketchIndex
+from miekki_tpu.ops import compact as C
+from miekki_tpu.params import SketchParams
+
+from fixtures import random_genome_fasta, random_reads_fastq
+
+
+def _rand_u64(rng, n):
+    return rng.integers(0, 1 << 63, size=n, dtype=np.uint64) * 2 + rng.integers(
+        0, 2, size=n, dtype=np.uint64)
+
+
+def test_encode_monotone_and_edges():
+    rng = np.random.default_rng(1)
+    v = np.sort(np.concatenate([
+        _rand_u64(rng, 5000),
+        np.array([0, 1, 2, 3, (1 << 26) - 1, 1 << 26, (1 << 32) - 1, 1 << 32,
+                  1 << 62, (1 << 63) + 12345,
+                  0xFFFFFFFFFFFFFFFF - 2, 0xFFFFFFFFFFFFFFFF - 1,
+                  0xFFFFFFFFFFFFFFFF], dtype=np.uint64),
+    ]))
+    c = C.encode_u64(v)
+    assert (np.diff(c.astype(np.int64)) >= 0).all(), "codes must be monotone"
+    # sentinel only for UINT64_MAX
+    assert c[-1] == np.uint32(0xFFFFFFFF)
+    assert (c[:-1] != np.uint32(0xFFFFFFFF)).all()
+    assert C.encode_u64(np.array([0], np.uint64))[0] == 0
+
+
+def test_encode_pair_matches_host():
+    rng = np.random.default_rng(2)
+    v = np.concatenate([
+        _rand_u64(rng, 4096),
+        # exhaustive per-exponent coverage: a value at every msb position
+        np.array([(np.uint64(1) << np.uint64(e)) | np.uint64(e * 2654435761 % (1 << e) if e else 0)
+                  for e in range(64)], dtype=np.uint64),
+        np.array([0, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64),
+    ])
+    want = C.encode_u64(v)
+    hi = (v >> np.uint64(32)).astype(np.uint32)
+    lo = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    got = np.asarray(C.encode_pair(jnp.asarray(hi), jnp.asarray(lo)))
+    bad = np.nonzero(got != want)[0]
+    assert bad.size == 0, (v[bad[:5]], want[bad[:5]], got[bad[:5]])
+
+
+def test_decode_relative_error():
+    rng = np.random.default_rng(3)
+    v = _rand_u64(rng, 20000)
+    v = v[v > 0]
+    d = C.decode_approx(C.encode_u64(v))
+    # decode returns the cell lower bound: d <= v, relative error <= 2^-26
+    assert (d <= v).all()
+    rel = (v - d).astype(np.float64) / v.astype(np.float64)
+    assert rel.max() <= 2.0 ** -24, rel.max()  # loose bound incl. rounding
+    assert int(C.decode_approx(np.array([0xFFFFFFFF], np.uint32))[0]) \
+        == 0xFFFFFFFFFFFFFFFF
+
+
+def test_collision_bias_on_synthetic_bottom_s():
+    """jaccard estimated from compact codes must track the raw-value
+    estimate within a few 1e-3 — the documented collision bias bound."""
+    rng = np.random.default_rng(4)
+    s = 2048
+    n = 200_000
+    shared = _rand_u64(rng, n // 2)
+    a = np.unique(np.concatenate([shared, _rand_u64(rng, n // 2)]))
+    b = np.unique(np.concatenate([shared, _rand_u64(rng, n // 2)]))
+    sa = np.sort(a)[:s]
+    sb = np.sort(b)[:s]
+
+    def mash_j(xa, xb):
+        union = np.unique(np.concatenate([xa, xb]))[:s]
+        inter = np.intersect1d(xa, xb)
+        return np.isin(union, inter).sum() / len(union)
+
+    j_raw = mash_j(sa, sb)
+    j_cmp = mash_j(C.encode_u64(sa).astype(np.uint64),
+                   C.encode_u64(sb).astype(np.uint64))
+    assert abs(j_raw - j_cmp) <= 5e-3, (j_raw, j_cmp)
+
+
+@pytest.fixture(scope="module")
+def raw_index(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cmp")
+    rng = np.random.default_rng(7)
+    paths = [
+        random_genome_fasta(tmp / f"g{i}.fa", rng, n_records=1, length=20000)
+        for i in range(6)
+    ]
+    return engine.build_index(paths, SketchParams(k=21, s=512)), tmp
+
+
+def test_index_roundtrip_and_file_size(raw_index, tmp_path):
+    idx, _ = raw_index
+    cmp_idx = idx.to_compact()
+    assert cmp_idx.params.compact
+    p_raw = tmp_path / "raw.npz"
+    p_cmp = tmp_path / "cmp.npz"
+    idx.save(p_raw)
+    cmp_idx.save(p_cmp)
+    assert p_cmp.stat().st_size < 0.75 * p_raw.stat().st_size
+    back = SketchIndex.load(p_cmp)
+    assert back.params == cmp_idx.params
+    assert np.array_equal(back.hi, cmp_idx.hi)
+    assert np.array_equal(back.lo, cmp_idx.lo)
+    # idempotent
+    assert cmp_idx.to_compact() is cmp_idx
+
+
+def test_dist_parity_raw_vs_compact(raw_index):
+    idx, _ = raw_index
+    cmp_idx = idx.to_compact()
+    raw_rows = list(engine.dist_iter(idx))
+    cmp_rows = list(engine.dist_iter(cmp_idx))
+    assert len(raw_rows) == len(cmp_rows) == 15
+    for r, c in zip(raw_rows, cmp_rows):
+        assert abs(r["jaccard"] - c["jaccard"]) <= 5e-3, (r, c)
+        assert abs(r["mash_distance"] - c["mash_distance"]) <= 5e-3
+        assert abs(c["shared"] - r["shared"]) <= 4
+
+
+def test_mixed_raw_compact_refused(raw_index):
+    idx, _ = raw_index
+    with pytest.raises(ValueError, match="incompatible"):
+        list(engine.dist_iter(idx, idx.to_compact()))
+
+
+def test_cardinality_scale_preserved(raw_index):
+    idx, _ = raw_index
+    raw_card = idx.cardinalities()
+    cmp_card = idx.to_compact().cardinalities()
+    assert np.allclose(raw_card, cmp_card, rtol=1e-4)
+
+
+def test_screen_compact_matches_raw(raw_index):
+    idx, tmp = raw_index
+    rng = np.random.default_rng(11)
+    reads = tmp / "reads.fq"
+    random_reads_fastq(reads, rng, n_reads=150, length=120)
+    raw_rows = engine.screen(idx, str(reads))
+    cmp_rows = engine.screen(idx.to_compact(), str(reads))
+    for r, c in zip(raw_rows, cmp_rows):
+        assert r["reference"] == c["reference"]
+        assert abs(r["containment"] - c["containment"]) <= 5e-3, (r, c)
+
+
+def test_cli_compress_end_to_end(raw_index, tmp_path, capsys):
+    from miekki_tpu.cli import main
+
+    idx, _ = raw_index
+    raw_p = str(tmp_path / "db.npz")
+    cmp_p = str(tmp_path / "db32.npz")
+    idx.save(raw_p)
+    assert main(["compress", raw_p, "-o", cmp_p]) == 0
+    assert main(["info", cmp_p]) == 0
+    out = capsys.readouterr().out
+    assert '"compact": true' in out
+    out_tsv = str(tmp_path / "out.tsv")
+    assert main(["dist", cmp_p, "-o", out_tsv]) == 0
+    assert len(open(out_tsv).read().splitlines()) == 16  # header + 15 pairs
+    # re-compressing a compact index errors
+    assert main(["compress", cmp_p, "-o", str(tmp_path / "x.npz")]) == 1
+
+
+def test_parallel_screen_compact(raw_index):
+    from miekki_tpu.parallel import local_mesh, screen_sharded
+    from miekki_tpu.parallel.mesh import DATA_AXIS
+
+    idx, tmp = raw_index
+    reads = tmp / "reads2.fq"
+    rng = np.random.default_rng(13)
+    random_reads_fastq(reads, rng, n_reads=100, length=100)
+    cmp_idx = idx.to_compact()
+    mesh = local_mesh(axis_names=(DATA_AXIS,))
+    got = screen_sharded(cmp_idx, str(reads), mesh, flat=4096)
+    want = engine.screen(cmp_idx, str(reads), flat=4096)
+    assert got == want
