@@ -279,6 +279,8 @@ def dist_tiles(
     tj_flat = np.tile(np.arange(tile, dtype=np.int64), tile)
 
     impl = _intersect._intersect_impl()
+    compact = index_a.params.compact  # single-plane codes: upload hi only,
+    # compare via the 32-bit kernels (half the merge ops and VMEM)
 
     # Column blocks (and, for mxu, their sorted streams) are re-visited by
     # every row block; cache them on device up to a byte budget so each is
@@ -288,7 +290,9 @@ def dist_tiles(
     # bj window, so even a partial cache gets most of the reuse.
     import os as _os
 
-    bytes_per_block = tile * s * (20 if impl == "mxu" else 8)
+    plane_bytes = 4 if compact else 8
+    bytes_per_block = tile * s * ((12 + plane_bytes) if impl == "mxu"
+                                  else plane_bytes)
     cache_mb = int(_os.environ.get("MIEKKI_COL_CACHE_MB", "2048"))
     cache_cap = max(1, (cache_mb << 20) // max(1, bytes_per_block))
     col_cache: dict = {}
@@ -296,12 +300,15 @@ def dist_tiles(
     def col_block(bj: int):
         if bj in col_cache:
             return col_cache[bj]
-        cols = (
-            jnp.asarray(b_hi[bj * tile : (bj + 1) * tile]),
-            jnp.asarray(b_lo[bj * tile : (bj + 1) * tile]),
-        )
+        if compact:
+            cols = jnp.asarray(b_hi[bj * tile : (bj + 1) * tile])
+        else:
+            cols = (
+                jnp.asarray(b_hi[bj * tile : (bj + 1) * tile]),
+                jnp.asarray(b_lo[bj * tile : (bj + 1) * tile]),
+            )
         stream = None
-        if impl == "mxu":
+        if impl == "mxu" and not compact:
             from .ops import mxu_intersect as _mxu
 
             stream = _mxu.sketch_stream(cols, True)
@@ -311,10 +318,13 @@ def dist_tiles(
         return cols, stream
 
     for bi in range(nb_a):
-        rows = (
-            jnp.asarray(a_hi[bi * tile : (bi + 1) * tile]),
-            jnp.asarray(a_lo[bi * tile : (bi + 1) * tile]),
-        )
+        if compact:
+            rows = jnp.asarray(a_hi[bi * tile : (bi + 1) * tile])
+        else:
+            rows = (
+                jnp.asarray(a_hi[bi * tile : (bi + 1) * tile]),
+                jnp.asarray(a_lo[bi * tile : (bi + 1) * tile]),
+            )
         row_stream = None  # mxu: sort the row block once per bi, reuse nb_b×
         for bj in range(nb_b):
             if self_compare and bj < bi:
@@ -322,7 +332,9 @@ def dist_tiles(
             if skip_tiles and (bi, bj) in skip_tiles:
                 continue
             cols, col_stream = col_block(bj)
-            if impl == "mxu":
+            if compact:
+                counts = _intersect.tile_counts_compact(rows, cols, s, impl)
+            elif impl == "mxu":
                 from .ops import mxu_intersect as _mxu
 
                 if row_stream is None:

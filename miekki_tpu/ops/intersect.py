@@ -321,3 +321,130 @@ def containment_counts(db: u64.Pair, read_hashes: u64.Pair):
     ))(db[0], db[1])
     sizes = jnp.sum(~u64.is_inf(db), axis=-1).astype(jnp.int32)
     return hits, sizes
+
+
+# ------------------------------------------------------------------ compact
+# Single-plane (uint32 code) paths for compact indexes (ops/compact.py):
+# same count semantics on codes, half the compare work of the u64 pair
+# machinery.  Sentinel: code == 0xFFFFFFFF.
+
+_INF32 = np.uint32(0xFFFFFFFF)
+
+
+def pair_counts32(a: jax.Array, b: jax.Array, s: int):
+    """pair_counts on single-plane codes via searchsorted (CPU-friendly)."""
+    m = b.shape[0]
+    valid_a = a != _INF32
+    pos = jnp.searchsorted(b, a, side="left")
+    probe = jnp.clip(pos, 0, m - 1)
+    match = (pos < m) & (b[probe] == a) & valid_a
+    match_i = match.astype(jnp.int32)
+    shared_less = jnp.cumsum(match_i) - match_i
+    i = jnp.arange(a.shape[0], dtype=jnp.int32)
+    rank = i + pos.astype(jnp.int32) - shared_less
+    n_a = jnp.sum(valid_a.astype(jnp.int32))
+    n_b = jnp.sum((b != _INF32).astype(jnp.int32))
+    inter = jnp.sum(match_i)
+    return {
+        "shared_in_x": jnp.sum((match & (rank < s)).astype(jnp.int32)),
+        "union_size": jnp.minimum(n_a + n_b - inter, s),
+        "inter_full": inter,
+        "n_a": n_a,
+        "n_b": n_b,
+    }
+
+
+def pair_counts_bitonic32(a: jax.Array, b: jax.Array, s: int):
+    """pair_counts_bitonic on single-plane codes (pow2 width)."""
+    sp = a.shape[-1]
+    if sp & (sp - 1) or b.shape[-1] != sp:
+        raise ValueError(
+            f"pair_counts_bitonic32 needs equal power-of-two widths, got "
+            f"{a.shape[-1]} / {b.shape[-1]}")
+    x = jnp.concatenate([a, b[..., ::-1]], axis=-1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    d = sp
+    while d >= 1:
+        up = (pos % (2 * d)) < d
+        fwd = jnp.roll(x, -d, axis=-1)
+        bwd = jnp.roll(x, d, axis=-1)
+        keep = jnp.where(up, x <= fwd, bwd <= x)
+        x = jnp.where(keep, x, jnp.where(up, fwd, bwd))
+        d //= 2
+    valid = x != _INF32
+    dup = (x == jnp.roll(x, 1, axis=-1)) & (pos > 0) & valid
+    distinct = valid & ~dup
+    rank = jnp.cumsum(distinct.astype(jnp.int32), axis=-1)
+    return {
+        "shared_in_x": jnp.sum((dup & (rank <= s)).astype(jnp.int32), axis=-1),
+        "union_size": jnp.minimum(
+            jnp.sum(distinct.astype(jnp.int32), axis=-1), s),
+        "inter_full": jnp.sum(dup.astype(jnp.int32), axis=-1),
+        "n_a": jnp.sum((a != _INF32).astype(jnp.int32), axis=-1),
+        "n_b": jnp.sum((b != _INF32).astype(jnp.int32), axis=-1),
+    }
+
+
+def _pad32(x: jax.Array, tgt: int) -> jax.Array:
+    sp = x.shape[-1]
+    if tgt == sp:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, tgt - sp)]
+    return jnp.pad(x, pad, constant_values=_INF32)
+
+
+def tile_counts_compact(rows: jax.Array, cols: jax.Array, s: int,
+                        impl: str = None):
+    """tile_counts for COMPACT sketches: [Ti, s] / [Tj, s] uint32 code
+    planes.  Same output dict; dispatches to single-plane kernels (pallas /
+    bitonic / searchsorted — mxu callers keep the (code, 0) pair path)."""
+    impl = impl or _intersect_impl()
+    if impl == "mxu":
+        from . import mxu_intersect
+
+        zeros_r = jnp.where(rows == _INF32, _INF32, jnp.uint32(0))
+        zeros_c = jnp.where(cols == _INF32, _INF32, jnp.uint32(0))
+        return mxu_intersect.tile_counts_mxu_exact(
+            (rows, zeros_r), (cols, zeros_c), s)
+    return _tile_counts_compact(rows, cols, s, impl)
+
+
+@partial(jax.jit, static_argnames=("s", "impl"))
+def _tile_counts_compact(rows: jax.Array, cols: jax.Array, s: int, impl: str):
+    ti = rows.shape[0]
+    g = min(ROW_GROUP, ti)
+
+    if impl == "pallas":
+        from . import pallas_intersect as _pi
+
+        tgt = max(128, -(-rows.shape[-1] // 128) * 128)
+        return _pi.tile_counts_pallas32(
+            _pad32(rows, tgt), _pad32(cols, tgt), s,
+            interpret=jax.default_backend() != "tpu")
+
+    if impl not in ("bitonic", "searchsorted"):
+        raise ValueError(f"unknown compact intersect impl {impl!r}")
+
+    if impl == "bitonic":
+        tgt = max(128, 1 << max(0, (rows.shape[-1] - 1).bit_length()))
+        rows = _pad32(rows, tgt)
+        cols = _pad32(cols, tgt)
+
+        def pair(r):
+            a = jnp.broadcast_to(r[:, None, :],
+                                 (r.shape[0],) + cols.shape)
+            b = jnp.broadcast_to(cols[None], (r.shape[0],) + cols.shape)
+            return pair_counts_bitonic32(a, b, s)
+    else:
+        def pair(r):
+            return jax.vmap(
+                jax.vmap(lambda x, y: pair_counts32(x, y, s),
+                         in_axes=(None, 0)),
+                in_axes=(0, None),
+            )(r, cols)
+
+    sp = rows.shape[-1]
+    if ti % g:
+        rows = jnp.pad(rows, ((0, -ti % g), (0, 0)), constant_values=_INF32)
+    out = jax.lax.map(lambda r: pair(r), rows.reshape(-1, g, sp))
+    return jax.tree.map(lambda x: x.reshape(-1, cols.shape[0])[:ti], out)

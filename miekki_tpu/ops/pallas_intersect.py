@@ -327,3 +327,128 @@ def tile_counts_pallas(rows: u64.Pair, cols: u64.Pair, s: int,
         "n_a": jnp.sum(~u64.is_inf(rows), axis=-1).astype(jnp.int32)[:ti],
         "n_b": jnp.sum(~u64.is_inf(cols), axis=-1).astype(jnp.int32),
     }
+
+
+# ------------------------------------------------------------------ compact
+# Single-plane (uint32 code) variants for compact indexes (ops/compact.py):
+# the merge network runs on ONE plane, halving both the compare-exchange op
+# count and the VMEM footprint per column.  Sentinel: code == 0xFFFFFFFF
+# (encode clamps real values away from it).
+
+
+def _merge_any_width32(x, p2: int):
+    """_merge_any_width on a single uint32 plane (same virtual-zero-head
+    argument; see the u64 version's docstring for the correctness proof)."""
+    w = x.shape[1]
+    off = p2 - w
+    pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    pos_g = pos + off
+    d = p2 // 2
+    while d >= 1:
+        y = _roll(x, -d)
+        le = x <= y
+        mn = jnp.where(le, x, y)
+        mx = jnp.where(le, y, x)
+        up = (pos_g & (2 * d - 1)) < d
+        self_ = pos < d
+        x = jnp.where(up, mn, jnp.where(self_, x, _roll(mx, d)))
+        d //= 2
+    return x
+
+
+def _counts_for_col32(r, c_row, s: int, sp: int):
+    """rows [BI, sp] uint32 codes vs ONE column [1, sp] (lane-reversed) →
+    (shared, union, inter) int32 [BI]."""
+    bi = r.shape[0]
+    x = jnp.concatenate([r, jnp.broadcast_to(c_row, (bi, sp))], axis=1)
+    p2 = 1 << (2 * sp - 1).bit_length()
+    x = _merge_any_width32(x, p2)
+    pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    valid = x != np.uint32(0xFFFFFFFF)
+    prev_eq = (x == _roll(x, 1)) & (pos > 0)
+    dup = jnp.where(prev_eq & valid, 1, 0)
+    distinct = jnp.where(valid, 1, 0) - dup
+    rank = _prefix_sum(distinct, pos)
+    shared = jnp.sum(jnp.where(rank <= s, dup, 0), axis=1)
+    union = jnp.minimum(jnp.sum(distinct, axis=1), s)
+    inter = jnp.sum(dup, axis=1)
+    return shared, union, inter
+
+
+def _tile_kernel32(r_ref, c_hbm, shared_ref, union_ref, inter_ref,
+                   buf, sems, *, s: int, sp: int, tj: int):
+    r = r_ref[...]
+    bi = r.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bi, tj), 1)
+    zeros = jnp.zeros((bi, tj), jnp.int32)
+
+    def dma(slot, j):
+        return pltpu.make_async_copy(c_hbm.at[j], buf.at[slot], sems.at[slot])
+
+    dma(0, 0).start()
+
+    def body(j, carry):
+        sh_acc, un_acc, in_acc = carry
+        slot = jax.lax.rem(j, 2)
+        nxt = jax.lax.rem(j + 1, 2)
+
+        @pl.when(j + 1 < tj)
+        def _():
+            dma(nxt, j + 1).start()
+
+        dma(slot, j).wait()
+        shared, union, inter = _counts_for_col32(r, buf[slot], s, sp)
+        hit = lane == j
+        return (
+            jnp.where(hit, shared[:, None], sh_acc),
+            jnp.where(hit, union[:, None], un_acc),
+            jnp.where(hit, inter[:, None], in_acc),
+        )
+
+    sh, un, it_ = jax.lax.fori_loop(0, tj, body, (zeros, zeros, zeros))
+    shared_ref[...] = sh
+    union_ref[...] = un
+    inter_ref[...] = it_
+
+
+@partial(jax.jit, static_argnames=("s", "interpret"))
+def tile_counts_pallas32(rows: jax.Array, cols: jax.Array, s: int,
+                         interpret: bool = False):
+    """All-pairs counts for a COMPACT tile: rows [Ti, sp] / cols [Tj, sp]
+    uint32 codes, sp 128-aligned.  Same output dict as tile_counts_pallas.
+    Half the merge ops and half the VMEM of the u64 kernel."""
+    ti, sp = rows.shape
+    tj = cols.shape[0]
+    if sp % 128 or cols.shape[1] != sp:
+        raise ValueError(f"128-aligned equal sketch widths required, got "
+                         f"{sp} / {cols.shape[1]}")
+    ti_p = -(-ti // BI) * BI
+    if ti_p != ti:
+        rows = jnp.pad(rows, ((0, ti_p - ti), (0, 0)),
+                       constant_values=np.uint32(0xFFFFFFFF))
+    cols_rev = cols[:, ::-1].reshape(tj, 1, sp)
+    out_shape = jax.ShapeDtypeStruct((ti_p, tj), jnp.int32)
+    row_spec = pl.BlockSpec((BI, sp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    out_spec = pl.BlockSpec((BI, tj), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    shared, union, inter = pl.pallas_call(
+        partial(_tile_kernel32, s=s, sp=sp, tj=tj),
+        grid=(ti_p // BI,),
+        in_specs=[row_spec, col_spec],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, sp), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(rows, cols_rev)
+    return {
+        "shared_in_x": shared[:ti],
+        "union_size": union[:ti],
+        "inter_full": inter[:ti],
+        "n_a": jnp.sum(rows != np.uint32(0xFFFFFFFF),
+                       axis=-1).astype(jnp.int32)[:ti],
+        "n_b": jnp.sum(cols != np.uint32(0xFFFFFFFF),
+                       axis=-1).astype(jnp.int32),
+    }

@@ -193,3 +193,53 @@ def test_parallel_screen_compact(raw_index):
     got = screen_sharded(cmp_idx, str(reads), mesh, flat=4096)
     want = engine.screen(cmp_idx, str(reads), flat=4096)
     assert got == want
+
+
+def test_compact_impl_matrix(raw_index, monkeypatch):
+    """Every compact intersect impl (single-plane searchsorted / bitonic /
+    Pallas-interpret, plus mxu via (code, 0) pairs) must produce identical
+    rows on a compact index."""
+    idx, _ = raw_index
+    cmp_idx = idx.to_compact()
+    base = None
+    for impl in ("searchsorted", "bitonic", "pallas", "mxu"):
+        monkeypatch.setenv("MIEKKI_INTERSECT", impl)
+        rows = list(engine.dist_iter(cmp_idx, tile=4))
+        assert len(rows) == 15
+        if base is None:
+            base = rows
+        else:
+            assert rows == base, impl
+
+
+def test_pair_counts32_matches_pair_path():
+    """Single-plane kernels vs the u64 pair path on (code, 0) planes —
+    bitwise-identical counts across widths incl. non-pow2."""
+    from miekki_tpu.ops import intersect as I
+
+    rng = np.random.default_rng(21)
+    for sp in (128, 200, 256):
+        a = np.sort(rng.choice(1 << 31, size=sp, replace=False)).astype(np.uint32)
+        b = np.sort(np.concatenate([
+            a[rng.random(sp) < 0.3],
+            rng.choice(1 << 31, size=sp, replace=False).astype(np.uint32),
+        ]))[:sp].astype(np.uint32)
+        # INF-pad tails
+        a[-5:] = 0xFFFFFFFF
+        b[-3:] = 0xFFFFFFFF
+        s = sp - 16
+        ref = I.pair_counts_merge(
+            (jnp.asarray(a), jnp.zeros(sp, jnp.uint32)
+             .at[a == 0xFFFFFFFF].set(0xFFFFFFFF)),
+            (jnp.asarray(b), jnp.zeros(sp, jnp.uint32)
+             .at[b == 0xFFFFFFFF].set(0xFFFFFFFF)),
+            s)
+        got = I.pair_counts32(jnp.asarray(a), jnp.asarray(b), s)
+        for key in ("shared_in_x", "union_size", "inter_full", "n_a", "n_b"):
+            assert int(got[key]) == int(ref[key]), (sp, key)
+        p2 = 1 << (sp - 1).bit_length()
+        ab = np.full(p2, 0xFFFFFFFF, np.uint32); ab[:sp] = a
+        bb = np.full(p2, 0xFFFFFFFF, np.uint32); bb[:sp] = b
+        got_b = I.pair_counts_bitonic32(jnp.asarray(ab), jnp.asarray(bb), s)
+        for key in ("shared_in_x", "union_size", "inter_full"):
+            assert int(got_b[key]) == int(ref[key]), (sp, key, "bitonic")
