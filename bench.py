@@ -96,6 +96,28 @@ def bench_pairs(s: int = 10_000, tile: int = 512) -> float:
     return tile * tile / dt
 
 
+def bench_pairs_compact(s: int = 10_000, tile: int = 512) -> float:
+    """Pair comparisons/s on COMPACT (single-plane uint32 code) sketches
+    through tile_counts_compact's Pallas kernel — half the merge ops and
+    VMEM of the u64 pair kernel (ops/compact.py, ops/pallas_intersect.py
+    tile_counts_pallas32)."""
+    import jax
+    import jax.numpy as jnp
+    from miekki_tpu.ops import intersect as _intersect
+
+    @jax.jit
+    def gen(key):
+        # uniform 31-bit codes stand in for encoded sketch values; sorted
+        c = jax.random.bits(key, (2 * tile, s), jnp.uint32) >> 1
+        return jax.lax.sort(c, dimension=-1)
+
+    codes = gen(jax.random.PRNGKey(2))
+    _sync(codes)
+    rows, cols = codes[:tile], codes[tile:]
+    dt = _time(lambda r, c: _intersect.tile_counts_compact(r, c, s), rows, cols)
+    return tile * tile / dt
+
+
 def main() -> None:
     import sys
 
@@ -105,12 +127,14 @@ def main() -> None:
     compile_cache.enable()
     gbases = bench_sketch()
     pairs = bench_pairs()
+    pairs32 = bench_pairs_compact()
     print(json.dumps({
         "metric": "sketch_throughput",
         "value": round(gbases, 4),
         "unit": "Gbases/s/chip",
         "vs_baseline": round(gbases / BASELINE_GBASES, 4),
-        "extra": {"pair_comparisons_per_s": round(pairs, 1)},
+        "extra": {"pair_comparisons_per_s": round(pairs, 1),
+                  "pair_comparisons_per_s_compact": round(pairs32, 1)},
     }))
 
 

@@ -76,6 +76,8 @@ def cmd_sketch(args) -> int:
         index = engine.build_index(args.genomes, params, chunk=args.chunk,
                                    min_copies=args.min_copies)
     dt = time.perf_counter() - t0
+    if args.compress:
+        index = index.to_compact()
     if args.shards > 1:
         paths = index.save_sharded(args.output.removesuffix(".npz"), args.shards)
         print(f"wrote {len(paths)} shards", file=sys.stderr)
@@ -302,6 +304,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep only k-mers occurring at least this many times "
                    "— drops sequencing-error k-mers in read sets "
                    "(mash sketch -m analog)")
+    p.add_argument("--compress", action="store_true",
+                   help="store 32-bit compact fingerprints (half size, "
+                   "~3e-4 jaccard bias; see the compress subcommand)")
     _add_common(p)
     p.set_defaults(fn=cmd_sketch)
 

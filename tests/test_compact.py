@@ -243,3 +243,31 @@ def test_pair_counts32_matches_pair_path():
         got_b = I.pair_counts_bitonic32(jnp.asarray(ab), jnp.asarray(bb), s)
         for key in ("shared_in_x", "union_size", "inter_full"):
             assert int(got_b[key]) == int(ref[key]), (sp, key, "bitonic")
+
+
+def test_ring_dist_sharded_compact(raw_index):
+    """The distributed ring on a compact index must match the single-device
+    engine rows exactly (codes flow through the pair path in the ring)."""
+    from miekki_tpu.parallel import dist_sharded, local_mesh
+    from miekki_tpu.parallel.mesh import DB_AXIS
+
+    idx, _ = raw_index
+    cmp_idx = idx.to_compact()
+    counts = dist_sharded(cmp_idx, local_mesh(axis_names=(DB_AXIS,)))
+    for r in engine.dist_iter(cmp_idx):
+        i, j = r["i"], r["j"]
+        assert int(counts["shared"][i, j]) == r["shared"]
+        assert int(counts["union"][i, j]) == r["union"]
+
+
+def test_cli_sketch_compress_flag(raw_index, tmp_path):
+    from miekki_tpu.cli import main
+
+    _, tmp = raw_index
+    out = str(tmp_path / "direct32.npz")
+    genomes = sorted(str(p) for p in tmp.glob("g*.fa"))
+    assert main(["sketch", *genomes, "-o", out, "-k", "21", "-s", "256",
+                 "--compress"]) == 0
+    idx = SketchIndex.load(out)
+    assert idx.params.compact
+    assert (idx.lo[idx.hi != 0xFFFFFFFF] == 0).all()
