@@ -127,3 +127,58 @@ def _check_screen():
 
 _check_screen()
 print("DONE2", flush=True)
+
+
+# ---------- correctness + perf: compact (single-plane) path ----------
+def _check_compact():
+    from miekki_tpu.ops import compact as CP
+    from miekki_tpu.ops import intersect as I2
+
+    rng3 = np.random.default_rng(9)
+    # device encoder vs host encoder on random + per-exponent values
+    v = np.concatenate([
+        rng3.integers(0, 1 << 63, size=8192, dtype=np.uint64) * 2
+        + rng3.integers(0, 2, size=8192, dtype=np.uint64),
+        np.array([(np.uint64(1) << np.uint64(e)) for e in range(64)],
+                 dtype=np.uint64),
+        np.array([0, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64),
+    ])
+    want = CP.encode_u64(v)
+    got = np.asarray(CP.encode_pair(
+        jnp.asarray((v >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray((v & np.uint64(0xFFFFFFFF)).astype(np.uint32))))
+    print("compact encode device == host:", np.array_equal(got, want), flush=True)
+
+    # single-plane pallas kernel vs pair path on (code, 0) planes
+    s2 = 512
+    tabc = np.sort(rng3.integers(0, 1 << 31, size=(16, s2), dtype=np.int64)
+                   .astype(np.uint32), axis=-1)
+    tabc[:, -7:] = np.uint32(0xFFFFFFFF)
+    r32 = jnp.asarray(tabc[:8]); c32 = jnp.asarray(tabc[8:])
+    zeros_r = jnp.where(r32 == np.uint32(0xFFFFFFFF), np.uint32(0xFFFFFFFF),
+                        np.uint32(0))
+    zeros_c = jnp.where(c32 == np.uint32(0xFFFFFFFF), np.uint32(0xFFFFFFFF),
+                        np.uint32(0))
+    ref = I2.tile_counts((r32, zeros_r), (c32, zeros_c), s2, impl="bitonic")
+    got32 = I2.tile_counts_compact(r32, c32, s2, impl="pallas")
+    ok = all(np.array_equal(np.asarray(ref[key]), np.asarray(got32[key]))
+             for key in ("shared_in_x", "union_size", "inter_full"))
+    print("compact pallas32 == pair path:", ok, flush=True)
+
+    # perf: compact kernel at production shapes
+    s3 = 10_000
+    T2 = 128
+    tabp = np.sort(rng3.integers(0, 1 << 31, size=(2 * T2, s3), dtype=np.int64)
+                   .astype(np.uint32), axis=-1)
+    rp = jnp.asarray(tabp[:T2]); cp_ = jnp.asarray(tabp[T2:])
+    f32 = lambda a, b: I2.tile_counts_compact(a, b, s3, impl="pallas")
+    try:
+        dt = timeit(f32, rp, cp_)
+        print(f"PERF intersect[compact-pallas]: {dt*1e3:.2f} ms = "
+              f"{T2*T2/dt/1e3:.1f}k pairs/s", flush=True)
+    except Exception as e:
+        print(f"PERF intersect[compact-pallas] FAILED: "
+              f"{type(e).__name__} {str(e)[:160]}", flush=True)
+
+_check_compact()
+print("DONE3", flush=True)
