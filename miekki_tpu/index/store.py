@@ -76,8 +76,18 @@ class SketchIndex:
             return self
         vals = (self.hi.astype(np.uint64) << np.uint64(32)) | self.lo
         codes = _compact.encode_u64(vals)
-        inf = vals == nthash.UINT64_MAX
-        lo = np.where(inf, np.uint32(0xFFFFFFFF), np.uint32(0))
+        # Two distinct raw values can collide into one code; the merge
+        # count logic treats consecutive equal values as an intersection,
+        # so a WITHIN-sketch duplicate would register as a cross-side
+        # match against any partner.  Dedup per row (codes are sorted —
+        # the transform is monotone): duplicates become sentinels, one
+        # re-sort pushes them to the tail.
+        dup = np.zeros_like(codes, dtype=bool)
+        dup[:, 1:] = codes[:, 1:] == codes[:, :-1]
+        codes = np.where(dup, np.uint32(0xFFFFFFFF), codes)
+        codes = np.sort(codes, axis=1)
+        lo = np.where(codes == np.uint32(0xFFFFFFFF),
+                      np.uint32(0xFFFFFFFF), np.uint32(0))
         params = dataclasses.replace(self.params, compact=True)
         return SketchIndex(params, self.names, codes, lo.astype(np.uint32))
 

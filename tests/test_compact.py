@@ -271,3 +271,22 @@ def test_cli_sketch_compress_flag(raw_index, tmp_path):
     idx = SketchIndex.load(out)
     assert idx.params.compact
     assert (idx.lo[idx.hi != 0xFFFFFFFF] == 0).all()
+
+
+def test_to_compact_dedups_colliding_codes():
+    """Two distinct raw values that collide into one code must not appear
+    twice in the compact sketch (a within-sketch duplicate would count as
+    a cross-side match in the merge logic)."""
+    # adjacent values sharing the top 27 bits -> same code
+    v1 = np.uint64(1) << np.uint64(40)
+    v2 = v1 + np.uint64(1)  # differs below the mantissa window
+    assert C.encode_u64(np.array([v1]))[0] == C.encode_u64(np.array([v2]))[0]
+    idx = SketchIndex.from_sketches(
+        [np.array([v1, v2, v1 + (np.uint64(1) << np.uint64(20))],
+                  np.uint64)],
+        ["g"], SketchParams(k=21, s=8))
+    cmp_idx = idx.to_compact()
+    row = cmp_idx.hi[0]
+    valid = row[row != 0xFFFFFFFF]
+    assert len(valid) == len(np.unique(valid))
+    assert cmp_idx.sizes()[0] == 2  # three values, two distinct codes
