@@ -212,6 +212,46 @@ def ring_rect_counts(
     return unrot(shared), unrot(union), unrot(inter)
 
 
+def _ring_counts_rect_local32(rows, cols, *, s: int, axis: str, impl=None):
+    """Single-plane (compact uint32 code) rectangular ring body: half the
+    ppermute bytes and half the merge ops of the (hi, lo) pair body
+    (ops/compact.py; intersect._tile_counts_compact)."""
+    D = lax.axis_size(axis)
+    perm = [(i, (i + 1) % D) for i in range(D)]
+
+    def step(c, _):
+        counts = _intersect._tile_counts_compact(rows, c, s, impl)
+        c = lax.ppermute(c, axis, perm)
+        return c, (counts["shared_in_x"], counts["union_size"],
+                   counts["inter_full"])
+
+    _, (shared, union, inter) = lax.scan(step, cols, None, length=D)
+    return shared, union, inter
+
+
+@partial(jax.jit, static_argnames=("s", "mesh", "axis", "impl"))
+def ring_rect_counts32(
+    a: jax.Array, b: jax.Array, *, s: int, mesh: Mesh,
+    axis: str = DB_AXIS, impl: str = None
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """ring_rect_counts on single-plane compact code tables (pass a == b
+    for self-comparison; the body is the rectangular one either way)."""
+    D = mesh.shape[axis]
+    n_a, n_b = a.shape[0], b.shape[0]
+    if n_a % D or n_b % D:
+        raise ValueError(f"N_a={n_a}/N_b={n_b} not divisible by {axis}={D}")
+    spec_db = P(axis, None)
+    shared, union, inter = shard_map(
+        partial(_ring_counts_rect_local32, s=s, axis=axis, impl=impl),
+        mesh=mesh,
+        in_specs=(spec_db, spec_db),
+        out_specs=(P(None, axis, None),) * 3,
+        check_vma=False,
+    )(a, b)
+    unrot = partial(_unrotate, D=D, nl_rows=n_a // D, nl_cols=n_b // D)
+    return unrot(shared), unrot(union), unrot(inter)
+
+
 def dist_sharded(
     index_a: SketchIndex,
     mesh: Mesh,
@@ -236,6 +276,24 @@ def dist_sharded(
             hi = np.concatenate([hi, pad])
             lo = np.concatenate([lo, pad])
         return hi, lo
+
+    if index_a.params.compact:
+        # single-plane ring: rotate only the code plane (half the
+        # ppermute bytes), count with the 32-bit kernels
+        idx_b = index_a if index_b is None else index_b
+        if index_b is not None:
+            index_a.params.validate_compatible(index_b.params)
+        n_a, n_b = len(index_a), len(idx_b)
+        a, _ = pad_to(index_a.hi, index_a.lo)
+        b = a if index_b is None else pad_to(index_b.hi, index_b.lo)[0]
+        shared, union, inter = ring_rect_counts32(
+            jnp.asarray(a), jnp.asarray(b), s=index_a.params.s, mesh=mesh,
+            axis=axis, impl=_intersect._intersect_impl_traced(),
+        )
+        sl = np.s_[:n_a, :n_b]
+        return {"shared": np.asarray(shared)[sl],
+                "union": np.asarray(union)[sl],
+                "inter": np.asarray(inter)[sl]}
 
     if index_b is not None:
         # Rectangular ring: A row-sharded and resident, B's blocks rotate —

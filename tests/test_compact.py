@@ -290,3 +290,25 @@ def test_to_compact_dedups_colliding_codes():
     valid = row[row != 0xFFFFFFFF]
     assert len(valid) == len(np.unique(valid))
     assert cmp_idx.sizes()[0] == 2  # three values, two distinct codes
+
+
+def test_ring_rectangular_compact(raw_index):
+    """Rectangular single-plane ring (A-vs-B on compact indexes) matches
+    the single-device engine exactly."""
+    from miekki_tpu.parallel import dist_sharded, local_mesh
+    from miekki_tpu.parallel.mesh import DB_AXIS
+
+    idx, _ = raw_index
+    cmp_idx = idx.to_compact()
+    a = SketchIndex(cmp_idx.params, cmp_idx.names[:3],
+                    cmp_idx.hi[:3], cmp_idx.lo[:3])
+    b = SketchIndex(cmp_idx.params, cmp_idx.names[3:],
+                    cmp_idx.hi[3:], cmp_idx.lo[3:])
+    mesh = local_mesh(axis_names=(DB_AXIS,))
+    counts = dist_sharded(a, mesh, index_b=b)
+    tiles = list(engine.dist_tiles(a, b, tile=4))
+    for _, _, gi, gj, sh, un, it in tiles:
+        for x, i, j, svals in ((counts["shared"], gi, gj, sh),):
+            assert np.array_equal(x[i, j], svals)
+        assert np.array_equal(counts["union"][gi, gj], un)
+        assert np.array_equal(counts["inter"][gi, gj], it)
