@@ -14,7 +14,15 @@ cd "$(dirname "$0")/.."
 OUT=/tmp/probe/r3
 mkdir -p "$OUT"
 
+# Hard deadline (epoch seconds): never start a device job after this —
+# the driver's end-of-round bench needs the (exclusive) tunnel session,
+# and a second client risks re-wedging it.  Default ~10:00 UTC Aug 18;
+# override with QUEUE_DEADLINE.
+DEADLINE=${QUEUE_DEADLINE:-1787047200}
+
 log() { echo "[queue $(date -u +%H:%M:%S)] $*"; }
+
+past_deadline() { [ "$(date +%s)" -ge "$DEADLINE" ]; }
 
 log "waiting for relay listener on :8083/:8082"
 for i in $(seq 1 8640); do  # up to 24 h, 10 s cadence
@@ -22,9 +30,11 @@ for i in $(seq 1 8640); do  # up to 24 h, 10 s cadence
     log "relay is back (iteration $i)"
     break
   fi
+  past_deadline && { log "deadline while waiting; exiting"; exit 0; }
   sleep 10
 done
 ss -tln 2>/dev/null | grep -qE ':(8082|8083) ' || { log "relay never returned; exiting"; exit 1; }
+past_deadline && { log "past deadline; leaving the device to the driver"; exit 0; }
 
 # 0. sanity probe (fast fail if the relay is up but the pool is not)
 log "step 0: sanity probe"
@@ -40,12 +50,14 @@ log "probe OK"
 
 # 1. headline bench, twice (the >=1.5x-twice discipline needs two runs)
 for r in 1 2; do
+  past_deadline && { log "deadline"; exit 0; }
   log "step 1.$r: bench.py"
   timeout 3600 python bench.py > "$OUT/q1_bench$r.log" 2>&1
   tail -1 "$OUT/q1_bench$r.log"
 done
 
 # 2. MXU intersect bench at production shapes (NEXT_ROUND item 2)
+past_deadline && { log "deadline"; exit 0; }
 log "step 2: mxu_intersect_bench"
 timeout 5400 python tools/mxu_intersect_bench.py --reps 5 > "$OUT/q2_mxu.log" 2>&1
 tail -3 "$OUT/q2_mxu.log"
