@@ -52,6 +52,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 
 
 def _load_or_build(paths, args) -> SketchIndex:
+    paths = _expand_lists(paths, getattr(args, "list", False))
     npz = [p for p in paths if str(p).endswith(".npz")]
     if npz and len(npz) == len(paths):
         if len(paths) == 1:
@@ -65,7 +66,26 @@ def _out(args):
     return open(args.output, "w") if args.output != "-" else sys.stdout
 
 
+def _expand_lists(paths, list_mode: bool):
+    """mash -l analog: with --list, each input is a text file of paths
+    (one per line, blanks/# comments skipped) — at 100k-genome scale the
+    argv limit makes direct listing impossible."""
+    if not list_mode:
+        return paths
+    out = []
+    for lf in paths:
+        with open(lf) as f:
+            for line in f:
+                line = line.strip()
+                if line and not line.startswith("#"):
+                    out.append(line)
+    if not out:
+        raise SystemExit(f"--list files named no inputs: {paths}")
+    return out
+
+
 def cmd_sketch(args) -> int:
+    args.genomes = _expand_lists(args.genomes, args.list)
     params = SketchParams(k=args.k, s=args.s)
     t0 = time.perf_counter()
     if args.per_record:
@@ -294,6 +314,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("sketch", help="sketch genomes into an index file")
     p.add_argument("genomes", nargs="+")
+    p.add_argument("-l", "--list", action="store_true",
+                   help="inputs are text files listing genome paths, one "
+                   "per line (mash -l analog; avoids argv limits at "
+                   "100k-genome scale)")
     p.add_argument("-o", "--output", required=True, help="output index (.npz)")
     p.add_argument("--shards", type=int, default=1,
                    help="split the index into N per-host shard files")
@@ -312,6 +336,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("dist", help="pairwise Mash distances")
     p.add_argument("query", nargs="+", help="index (.npz) or genome files")
+    p.add_argument("-l", "--list", action="store_true",
+                   help="query inputs are text files listing paths (mash -l)")
     p.add_argument("--ref", default=None, help="reference index (.npz); "
                    "default: all-vs-all on the query set")
     p.add_argument("-o", "--output", default="-", help="output TSV (default stdout)")
@@ -361,6 +387,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("triangle", help="lower-triangular Phylip distance "
                        "matrix (mash triangle analog)")
     p.add_argument("query", nargs="+", help="index (.npz) or genome files")
+    p.add_argument("-l", "--list", action="store_true",
+                   help="query inputs are text files listing paths (mash -l)")
     p.add_argument("-o", "--output", default="-",
                    help="output file (default stdout)")
     p.add_argument("--tile", type=int, default=engine.DEFAULT_TILE)

@@ -415,3 +415,30 @@ def test_cli_random_params_end_to_end(tmp_path, seed):
         assert int(rec["shared"]) == want["shared"], (k, s)
         assert float(rec["jaccard"]) == round(want["jaccard"], 10) or \
                abs(float(rec["jaccard"]) - want["jaccard"]) < 1e-9
+
+
+def test_list_file_inputs(tmp_path):
+    """mash -l analog: --list reads genome paths from text files (argv
+    limits make direct listing impossible at 100k-genome scale)."""
+    import numpy as np
+
+    from fixtures import random_genome_fasta
+    from miekki_tpu.cli import main
+
+    rng = np.random.default_rng(3)
+    paths = [str(random_genome_fasta(tmp_path / f"g{i}.fa", rng,
+                                     n_records=1, length=3000))
+             for i in range(4)]
+    lst = tmp_path / "genomes.txt"
+    lst.write_text("# comment\n" + "\n".join(paths[:3]) + "\n\n" + paths[3] + "\n")
+    db_l = str(tmp_path / "dbl.npz")
+    db_d = str(tmp_path / "dbd.npz")
+    assert main(["sketch", "-l", str(lst), "-o", db_l, "-k", "21", "-s", "64"]) == 0
+    assert main(["sketch", *paths, "-o", db_d, "-k", "21", "-s", "64"]) == 0
+    from miekki_tpu.index.store import SketchIndex
+    a, b = SketchIndex.load(db_l), SketchIndex.load(db_d)
+    assert np.array_equal(a.hi, b.hi) and np.array_equal(a.lo, b.lo)
+    # dist --list over the same list file
+    out = str(tmp_path / "o.tsv")
+    assert main(["dist", "-l", str(lst), "-o", out, "-k", "21", "-s", "64"]) == 0
+    assert len(open(out).read().splitlines()) == 7  # header + C(4,2)
