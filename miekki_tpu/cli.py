@@ -295,12 +295,15 @@ def cmd_compress(args) -> int:
     if index.params.compact:
         print("index is already compact", file=sys.stderr)
         return 1
+    # np.savez appends .npz when missing — stat the file actually written
+    out = args.output if str(args.output).endswith(".npz") \
+        else f"{args.output}.npz"
     index.to_compact().save(args.output)
     import os
 
     print(f"compressed {len(index)} genomes: "
-          f"{os.path.getsize(args.db)} -> {os.path.getsize(args.output)} "
-          "bytes", file=sys.stderr)
+          f"{os.path.getsize(args.db)} -> {os.path.getsize(out)} "
+          f"bytes -> {out}", file=sys.stderr)
     return 0
 
 

@@ -290,25 +290,35 @@ def dist_tiles(
     # bj window, so even a partial cache gets most of the reuse.
     import os as _os
 
-    plane_bytes = 4 if compact else 8
-    bytes_per_block = tile * s * ((12 + plane_bytes) if impl == "mxu"
-                                  else plane_bytes)
+    # mxu operates on (plane, plane) pairs even for compact indexes (the
+    # lo plane is derived on device); its sorted streams are cached per
+    # column block alongside the planes so every block is uploaded and
+    # sorted once, not once per row block.
+    mxu = impl == "mxu"
+    plane_bytes = (8 if mxu else 4) if compact else 8
+    bytes_per_block = tile * s * ((12 + plane_bytes) if mxu else plane_bytes)
     cache_mb = int(_os.environ.get("MIEKKI_COL_CACHE_MB", "2048"))
     cache_cap = max(1, (cache_mb << 20) // max(1, bytes_per_block))
     col_cache: dict = {}
 
+    def load_block(table_hi, table_lo, b: int):
+        """Device planes for block b: pair for the u64/mxu paths, a single
+        code plane for compact non-mxu."""
+        hi = jnp.asarray(table_hi[b * tile : (b + 1) * tile])
+        if compact:
+            if not mxu:
+                return hi
+            from .ops import compact as _compact_ops
+
+            return (hi, _compact_ops.lo_plane(hi))
+        return hi, jnp.asarray(table_lo[b * tile : (b + 1) * tile])
+
     def col_block(bj: int):
         if bj in col_cache:
             return col_cache[bj]
-        if compact:
-            cols = jnp.asarray(b_hi[bj * tile : (bj + 1) * tile])
-        else:
-            cols = (
-                jnp.asarray(b_hi[bj * tile : (bj + 1) * tile]),
-                jnp.asarray(b_lo[bj * tile : (bj + 1) * tile]),
-            )
+        cols = load_block(b_hi, b_lo, bj)
         stream = None
-        if impl == "mxu" and not compact:
+        if mxu:
             from .ops import mxu_intersect as _mxu
 
             stream = _mxu.sketch_stream(cols, True)
@@ -318,13 +328,7 @@ def dist_tiles(
         return cols, stream
 
     for bi in range(nb_a):
-        if compact:
-            rows = jnp.asarray(a_hi[bi * tile : (bi + 1) * tile])
-        else:
-            rows = (
-                jnp.asarray(a_hi[bi * tile : (bi + 1) * tile]),
-                jnp.asarray(a_lo[bi * tile : (bi + 1) * tile]),
-            )
+        rows = load_block(a_hi, a_lo, bi)
         row_stream = None  # mxu: sort the row block once per bi, reuse nb_b×
         for bj in range(nb_b):
             if self_compare and bj < bi:
@@ -332,9 +336,7 @@ def dist_tiles(
             if skip_tiles and (bi, bj) in skip_tiles:
                 continue
             cols, col_stream = col_block(bj)
-            if compact:
-                counts = _intersect.tile_counts_compact(rows, cols, s, impl)
-            elif impl == "mxu":
+            if mxu:
                 from .ops import mxu_intersect as _mxu
 
                 if row_stream is None:
@@ -342,6 +344,8 @@ def dist_tiles(
                 counts = _mxu.tile_counts_mxu_exact(
                     rows, cols, s, row_stream=row_stream,
                     col_stream=col_stream)
+            elif compact:
+                counts = _intersect.tile_counts_compact(rows, cols, s, impl)
             else:
                 counts = _intersect.tile_counts(rows, cols, s, impl)
             shared = np.asarray(counts["shared_in_x"]).ravel()
@@ -843,8 +847,7 @@ def _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes,
         from .ops import compact as _compact_ops
 
         code = _compact_ops.encode_pair(h[0], h[1])
-        sent = code == jnp.uint32(0xFFFFFFFF)
-        h = (code, jnp.where(sent, jnp.uint32(0xFFFFFFFF), jnp.uint32(0)))
+        h = (code, _compact_ops.lo_plane(code))
     keep = ~u64.less((thr_hi, thr_lo), h)  # h <= thr; INF never kept
     n_keep = jnp.sum(keep.astype(jnp.int32))
     # Stable partition survivors to the front (sort by position-keyed int32;

@@ -21,6 +21,11 @@ from ..oracle import nthash
 from ..params import SketchParams
 
 _FORMAT_VERSION = 1
+# Compact files (32-bit fingerprints, no lo array) are a new layout:
+# stamping them with a higher version makes a pre-compact reader fail
+# with the clean "unsupported index format" error instead of a
+# KeyError on the missing lo array.  Readers accept both.
+_FORMAT_VERSION_COMPACT = 2
 
 
 class SketchIndex:
@@ -86,10 +91,9 @@ class SketchIndex:
         dup[:, 1:] = codes[:, 1:] == codes[:, :-1]
         codes = np.where(dup, np.uint32(0xFFFFFFFF), codes)
         codes = np.sort(codes, axis=1)
-        lo = np.where(codes == np.uint32(0xFFFFFFFF),
-                      np.uint32(0xFFFFFFFF), np.uint32(0))
         params = dataclasses.replace(self.params, compact=True)
-        return SketchIndex(params, self.names, codes, lo.astype(np.uint32))
+        return SketchIndex(params, self.names, codes,
+                           _compact.lo_plane_np(codes))
 
     def sizes(self) -> np.ndarray:
         full = (self.hi == 0xFFFFFFFF) & (self.lo == 0xFFFFFFFF)
@@ -105,14 +109,30 @@ class SketchIndex:
         if self.params.compact:
             from ..ops import compact as _compact
 
-            def vals(i: int) -> np.ndarray:
+            # ALWAYS extrapolate for compact sketches: to_compact's code
+            # dedup can leave j < s valid codes on a genome that had >= s
+            # distinct k-mers, so kmv_cardinality's "fewer than s => exact
+            # count" branch would return ~j (a ~500x underestimate that
+            # poisons the default p_value column).  Same estimator as
+            # kmv_cardinality — solve the canonical-hash CDF 2q - q² =
+            # j/(n+1) at the j-th min — valid for any j, and it converges
+            # to the exact count on genuinely-small genomes (the j-th min
+            # of an exhaustive sketch sits at CDF ~ n/(n+1) => n̂ ~ n).
+            out = np.empty(len(self), np.float64)
+            for i in range(len(self)):
                 codes = self.hi[i][~((self.hi[i] == 0xFFFFFFFF)
                                      & (self.lo[i] == 0xFFFFFFFF))]
-                return _compact.decode_approx(codes)
-        else:
-            vals = self.sketch_u64
+                v = _compact.decode_approx(codes)
+                j = len(v)
+                if j < 2:
+                    out[i] = float(j)
+                else:
+                    q = float(v[-1]) / 2.0 ** 64
+                    out[i] = j / max(2.0 * q - q * q, 1e-300) - 1.0
+            return out
         return np.array(
-            [kmv_cardinality(vals(i), self.params.s) for i in range(len(self))],
+            [kmv_cardinality(self.sketch_u64(i), self.params.s)
+             for i in range(len(self))],
             dtype=np.float64,
         )
 
@@ -120,7 +140,8 @@ class SketchIndex:
 
     def _header(self) -> dict:
         return {
-            "format_version": _FORMAT_VERSION,
+            "format_version": (_FORMAT_VERSION_COMPACT if self.params.compact
+                               else _FORMAT_VERSION),
             "params": self.params.to_dict(),
             "names": self.names,
         }
@@ -141,13 +162,15 @@ class SketchIndex:
     def load(cls, path: str | os.PathLike) -> "SketchIndex":
         with np.load(path) as z:
             header = json.loads(bytes(z["header"]).decode())
-            if header.get("format_version") != _FORMAT_VERSION:
+            if header.get("format_version") not in (_FORMAT_VERSION,
+                                                     _FORMAT_VERSION_COMPACT):
                 raise ValueError(f"unsupported index format: {header.get('format_version')}")
             params = SketchParams.from_dict(header["params"])
             hi = z["hi"]
             if params.compact and "lo" not in z:
-                lo = np.where(hi == np.uint32(0xFFFFFFFF),
-                              np.uint32(0xFFFFFFFF), np.uint32(0))
+                from ..ops.compact import lo_plane_np
+
+                lo = lo_plane_np(hi)
             else:
                 lo = z["lo"]
             return cls(params, header["names"], hi, lo)

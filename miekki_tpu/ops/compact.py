@@ -145,3 +145,16 @@ def encode_pair(hi: jax.Array, lo: jax.Array) -> jax.Array:
     code = jnp.where((code == jnp.uint32(0xFFFFFFFF)) & ~inf,
                      jnp.uint32(0xFFFFFFFE), code)
     return jnp.where(inf, jnp.uint32(0xFFFFFFFF), code)
+
+
+def lo_plane_np(codes: np.ndarray) -> np.ndarray:
+    """Host: the derived lo plane for compact codes — 0 for values, INF for
+    the sentinel (one definition; used by store save/load and the engine)."""
+    return np.where(codes == _SENTINEL, np.uint32(0xFFFFFFFF),
+                    np.uint32(0)).astype(np.uint32)
+
+
+def lo_plane(codes: jax.Array) -> jax.Array:
+    """Device version of lo_plane_np."""
+    return jnp.where(codes == jnp.uint32(0xFFFFFFFF),
+                     jnp.uint32(0xFFFFFFFF), jnp.uint32(0))

@@ -401,11 +401,10 @@ def tile_counts_compact(rows: jax.Array, cols: jax.Array, s: int,
     impl = impl or _intersect_impl()
     if impl == "mxu":
         from . import mxu_intersect
+        from .compact import lo_plane
 
-        zeros_r = jnp.where(rows == _INF32, _INF32, jnp.uint32(0))
-        zeros_c = jnp.where(cols == _INF32, _INF32, jnp.uint32(0))
         return mxu_intersect.tile_counts_mxu_exact(
-            (rows, zeros_r), (cols, zeros_c), s)
+            (rows, lo_plane(rows)), (cols, lo_plane(cols)), s)
     return _tile_counts_compact(rows, cols, s, impl)
 
 

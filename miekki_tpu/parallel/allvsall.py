@@ -218,6 +218,10 @@ def _ring_counts_rect_local32(rows, cols, *, s: int, axis: str, impl=None):
     (ops/compact.py; intersect._tile_counts_compact)."""
     D = lax.axis_size(axis)
     perm = [(i, (i + 1) % D) for i in range(D)]
+    # impl=None resolves here (trace time — pinned by the enclosing jit
+    # cache, same caveat as the u64 ring entries; dist_sharded passes it
+    # explicitly).  Must be a traceable impl: mxu never reaches here.
+    impl = impl or _intersect._intersect_impl_traced()
 
     def step(c, _):
         counts = _intersect._tile_counts_compact(rows, c, s, impl)

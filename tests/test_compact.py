@@ -312,3 +312,69 @@ def test_ring_rectangular_compact(raw_index):
             assert np.array_equal(x[i, j], svals)
         assert np.array_equal(counts["union"][gi, gj], un)
         assert np.array_equal(counts["inter"][gi, gj], it)
+
+
+def test_compact_format_version_and_raw_unchanged(raw_index, tmp_path):
+    """Compact files are stamped format_version 2 (pre-compact readers get
+    the clean 'unsupported index format' error, not a KeyError on the
+    missing lo array); raw files keep version 1."""
+    import json
+
+    idx, _ = raw_index
+    p_raw = tmp_path / "r.npz"
+    p_cmp = tmp_path / "c.npz"
+    idx.save(p_raw)
+    idx.to_compact().save(p_cmp)
+    for p, want in ((p_raw, 1), (p_cmp, 2)):
+        with np.load(p) as z:
+            assert json.loads(bytes(z["header"]).decode())[
+                "format_version"] == want
+
+
+def test_compact_cardinality_with_code_collision():
+    """A full sketch whose compact dedup dropped a collided code must keep
+    an extrapolated cardinality (not collapse to ~len(sketch)); the
+    default p_value column depends on it."""
+    rng = np.random.default_rng(31)
+    s = 1024
+    n = 2_000_000
+    vals = np.sort(rng.integers(1, 2 ** 63, size=n, dtype=np.uint64))[:s]
+    # force one code collision inside the sketch
+    vals[1] = vals[0] + np.uint64(1)
+    vals = np.unique(vals)[:s]
+    idx = SketchIndex.from_sketches([vals], ["g"], SketchParams(k=21, s=s))
+    cmp_idx = idx.to_compact()
+    assert cmp_idx.sizes()[0] < s  # the collision was deduped
+    raw_card = idx.cardinalities()[0]
+    cmp_card = cmp_idx.cardinalities()[0]
+    assert abs(cmp_card - raw_card) / raw_card < 0.05, (raw_card, cmp_card)
+
+
+def test_ring_rect_counts32_default_impl(raw_index):
+    """ring_rect_counts32 with impl omitted must resolve the default, like
+    its u64 analogs."""
+    import jax.numpy as jnp
+
+    from miekki_tpu.parallel import local_mesh
+    from miekki_tpu.parallel.allvsall import ring_rect_counts32
+    from miekki_tpu.parallel.mesh import DB_AXIS
+
+    idx, _ = raw_index
+    cmp_idx = idx.to_compact()
+    pad = np.full((2, cmp_idx.hi.shape[1]), 0xFFFFFFFF, np.uint32)
+    a = jnp.asarray(np.concatenate([cmp_idx.hi, pad]))
+    mesh = local_mesh(axis_names=(DB_AXIS,))
+    shared, union, inter = ring_rect_counts32(a, a, s=cmp_idx.params.s,
+                                              mesh=mesh)
+    assert int(shared[0, 0]) == int(cmp_idx.sizes()[0])
+
+
+def test_cli_compress_output_without_suffix(raw_index, tmp_path):
+    from miekki_tpu.cli import main
+
+    idx, _ = raw_index
+    raw_p = str(tmp_path / "db.npz")
+    idx.save(raw_p)
+    out = str(tmp_path / "noext")
+    assert main(["compress", raw_p, "-o", out]) == 0
+    assert SketchIndex.load(out + ".npz").params.compact
