@@ -1,7 +1,8 @@
 """Command-line interface (component C10, SURVEY.md §2) in the Mash idiom:
 
   python -m miekki_tpu.cli sketch  <genomes...> -o db.npz  [-k 31] [-s 10000]
-                                   [--per-record] [--shards N]
+                                   [--per-record] [--shards N] [-l|--list]
+                                   [-m N] [--compress]
   python -m miekki_tpu.cli dist    <db.npz|shards...|genomes...>
                                    [--ref db2.npz] -o out.tsv
                                    [--distributed [--counts c.npz]]
@@ -13,12 +14,14 @@
   python -m miekki_tpu.cli triangle <db.npz|genomes...> -o out.phylip
   python -m miekki_tpu.cli info    <db.npz> [--dump]
   python -m miekki_tpu.cli merge   <dbs...> -o merged.npz
+  python -m miekki_tpu.cli compress <db.npz> -o db32.npz
 
-Mash-command mapping: sketch≈`mash sketch` (`--per-record`≈`-i`),
-dist≈`mash dist` (`--matrix`≈`-t`, `--max-dist`≈`-d`, `--max-p`≈`-v`,
-`--bounds`≈`mash bounds`), screen≈`mash screen`,
-triangle≈`mash triangle`, info≈`mash info` (`--dump`≈`-d`),
-merge≈`mash paste`.
+Mash-command mapping: sketch≈`mash sketch` (`--per-record`≈`-i`,
+`-m`≈`-m`, `--list`≈`-l`), dist≈`mash dist` (`--matrix`≈`-t`,
+`--max-dist`≈`-d`, `--max-p`≈`-v`, `--bounds`≈`mash bounds`),
+screen≈`mash screen` (`-w`≈`-w`), triangle≈`mash triangle`,
+info≈`mash info` (`--dump`≈`-d`), merge≈`mash paste`; compress has no
+Mash analog (32-bit compact fingerprints, ops/compact.py).
 
 Inputs ending in .npz are loaded as sketch indexes (several = per-host
 shards); anything else is treated as a FASTA/FASTQ(.gz) genome file and
