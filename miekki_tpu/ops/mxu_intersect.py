@@ -28,6 +28,21 @@ bitonic kernel (`tile_counts_mxu_exact`).
 
 All counts accumulate in f32 (exact integers < 2^24 ≫ any tile count).
 Bit-exactness vs pair_counts_merge: tests/test_mxu_intersect.py.
+
+Long-run (band-overflow) analysis — why band is the knob, not a quadratic
+correction: sketches are distinct, so each sketch contributes at most ONE
+slot to any value-run, and the exact per-run contribution to inter is the
+rank-1 outer product a_R ⊗ b_R (a_R ∈ {0,1}^Ti = rows present in run R).
+The banded counter is exactly the W-truncation of that segmented rank-1
+accumulation: runs of length ≤ band+1 are counted fully.  The exact
+untruncated form needs per-RUN (not per-offset) one-hot aggregation — a
+[c, c] segment matmul per chunk, ~256x the VPU work of band=8 and only
+needed on the rare chunks containing a long run, whose data-dependent
+selection would force host sync inside the pass.  Raising `band` (cost
+linear in W) covers panels where a core k-mer is shared by up to band+1
+tile members; beyond that the overflow flag triggers the exact
+bitwise-proven fallback.  Measured on 8-member mutated families: band=8
+never overflows (DESIGN.md r2 row).
 """
 
 from __future__ import annotations
