@@ -72,7 +72,15 @@ TREE_CAP = 32     # candidates kept per row per level
 
 MIN_GROUP = 8        # lanes per min-extraction group (_min_level)
 MIN_KEEP = 4         # distinct values kept per group (2x compaction)
-MIN_LEVEL_FLOOR = 1 << 16  # stop min-extraction below this width
+# Width below which min-extraction stops and sort-based tree levels take
+# over.  OPT-IN (MIEKKI_MIN_LEVEL=1): on the real chip the min-extraction
+# levels MEASURED SLOWER than the tree sort they replace despite ~5x fewer
+# nominal vector ops — 0.66/0.68 vs 0.98/1.17 Gbase/s on the 134-Mbase
+# bench shape (2026-08-19, reproduced twice each way; docs/DESIGN.md).
+# XLA's lowering of the 4x(fold+masked-drop) extraction chain loses to its
+# own fused sort network here; kept opt-in for toolchains where it wins.
+MIN_LEVEL_FLOOR = (1 << 16) if os.environ.get("MIEKKI_MIN_LEVEL") == "1" \
+    else (1 << 62)
 
 
 def _min_level(h: u64.Pair):
