@@ -54,19 +54,43 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="write phase metrics JSON to FILE")
 
 
+def _is_index_file(path) -> bool:
+    """An index file is an npz (zip) archive; sequence files are FASTA/
+    FASTQ or gzip.  Content sniffing, not extension: `sketch -o db.msk`
+    must round-trip through `dist db.msk` regardless of suffix."""
+    try:
+        with open(path, "rb") as f:
+            return f.read(4) == b"PK\x03\x04"
+    except OSError:
+        return False
+
+
 def _load_or_build(paths, args) -> SketchIndex:
     paths = _expand_lists(paths, getattr(args, "list", False))
-    npz = [p for p in paths if str(p).endswith(".npz")]
-    if npz and len(npz) == len(paths):
+    idx = [p for p in paths if str(p).endswith(".npz") or _is_index_file(p)]
+    if idx and len(idx) == len(paths):
         if len(paths) == 1:
             return SketchIndex.load(paths[0])
         return SketchIndex.load_sharded(paths)  # per-host DB shards
+    if idx:
+        raise SystemExit(
+            "inputs mix sketch index files and sequence files: "
+            f"{[str(p) for p in idx]} are indexes; pass either all indexes "
+            "or all FASTA/FASTQ")
     params = SketchParams(k=args.k, s=args.s)
     return engine.build_index(paths, params, chunk=args.chunk)
 
 
 def _out(args):
-    return open(args.output, "w") if args.output != "-" else sys.stdout
+    """Output handle usable in a `with` block.  stdout is wrapped in a
+    nullcontext so `with _out(args)` never closes sys.stdout — closing it
+    breaks in-process callers that invoke cli.main() more than once
+    (regression caught by tests/test_cli.py round 3)."""
+    if args.output != "-":
+        return open(args.output, "w")
+    import contextlib
+
+    return contextlib.nullcontext(sys.stdout)
 
 
 def _expand_lists(paths, list_mode: bool):
@@ -298,15 +322,12 @@ def cmd_compress(args) -> int:
     if index.params.compact:
         print("index is already compact", file=sys.stderr)
         return 1
-    # np.savez appends .npz when missing — stat the file actually written
-    out = args.output if str(args.output).endswith(".npz") \
-        else f"{args.output}.npz"
     index.to_compact().save(args.output)
     import os
 
     print(f"compressed {len(index)} genomes: "
-          f"{os.path.getsize(args.db)} -> {os.path.getsize(out)} "
-          f"bytes -> {out}", file=sys.stderr)
+          f"{os.path.getsize(args.db)} -> {os.path.getsize(args.output)} "
+          f"bytes -> {args.output}", file=sys.stderr)
     return 0
 
 

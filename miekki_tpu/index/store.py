@@ -151,12 +151,17 @@ class SketchIndex:
         if not self.params.compact:
             arrays["lo"] = self.lo
         # compact: the lo plane is fully determined by hi (0 for values,
-        # INF for padding) — omit it so the file is genuinely half-size
-        np.savez_compressed(
-            path,
-            header=np.frombuffer(json.dumps(self._header()).encode(), dtype=np.uint8),
-            **arrays,
-        )
+        # INF for padding) — omit it so the file is genuinely half-size.
+        # Write through a file object: np.savez on a PATH silently appends
+        # ".npz", so `sketch -o db.msk` would write db.msk.npz while the
+        # CLI reports db.msk (bug found in round-3 end-to-end verify).
+        with open(path, "wb") as f:
+            np.savez_compressed(
+                f,
+                header=np.frombuffer(json.dumps(self._header()).encode(),
+                                     dtype=np.uint8),
+                **arrays,
+            )
 
     @classmethod
     def load(cls, path: str | os.PathLike) -> "SketchIndex":

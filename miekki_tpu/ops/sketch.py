@@ -29,6 +29,7 @@ of SURVEY.md §5.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -79,8 +80,16 @@ MIN_KEEP = 4         # distinct values kept per group (2x compaction)
 # bench shape (2026-08-19, reproduced twice each way; docs/DESIGN.md).
 # XLA's lowering of the 4x(fold+masked-drop) extraction chain loses to its
 # own fused sort network here; kept opt-in for toolchains where it wins.
-MIN_LEVEL_FLOOR = (1 << 16) if os.environ.get("MIEKKI_MIN_LEVEL") == "1" \
-    else (1 << 62)
+MIN_LEVEL_FLOOR = None  # test override hook; None → read env per call
+
+
+def _min_level_floor() -> int:
+    """Lazy MIEKKI_MIN_LEVEL read (same per-call discipline as the other
+    _env_* knobs — setting the env var after import takes effect)."""
+    if MIN_LEVEL_FLOOR is not None:
+        return MIN_LEVEL_FLOOR
+    return (1 << 16) if os.environ.get("MIEKKI_MIN_LEVEL") == "1" \
+        else (1 << 62)
 
 
 def _min_level(h: u64.Pair):
@@ -424,7 +433,7 @@ def _sketch_group_merged(blocks: jax.Array, k: int, s: int,
                 # Widest levels via cheap min-extraction (survivor density
                 # is low here — the warmup head guarantees a warm
                 # threshold); sort-based tree levels finish the job.
-                while cand[0].size > MIN_LEVEL_FLOOR:
+                while cand[0].size > _min_level_floor():
                     cand, of = _min_level(cand)
                     overflow = overflow | of
                 while cand[0].size > 2 * CAND_BUDGET:

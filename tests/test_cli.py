@@ -83,6 +83,31 @@ def test_dist_from_fasta_directly(setup):
     assert len(lines) == 2
 
 
+def test_sketch_output_path_honored_exactly(setup, capsys):
+    """Regression (r3): `sketch -o db.msk` must write db.msk itself (not a
+    silently-appended db.msk.npz) and dist/triangle/screen/info must load
+    it by content sniffing, not extension."""
+    tmp, genomes, paths, _ = setup
+    db = str(tmp / "db.msk")
+    assert cli.main(["sketch", *paths[:2], "-o", db, "-k", "21", "-s", "300"]) == 0
+    import os
+
+    assert os.path.exists(db) and not os.path.exists(db + ".npz")
+    assert cli.main(["dist", db]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert len(out) == 1 + 1  # header + (2 choose 2) upper pair
+    assert cli.main(["info", db]) == 0
+    assert json.loads(capsys.readouterr().out)["genomes"] == 2
+
+
+def test_dist_rejects_mixed_index_and_fasta(setup):
+    tmp, genomes, paths, _ = setup
+    db = str(tmp / "mix.msk")
+    assert cli.main(["sketch", *paths[:2], "-o", db, "-k", "21", "-s", "300"]) == 0
+    with pytest.raises(SystemExit, match="mix"):
+        cli.main(["dist", db, paths[0]])
+
+
 def test_cli_dist_distributed_matches_plain(tmp_path):
     """--distributed (8 fake devices) must give the identical TSV."""
     import numpy as np

@@ -377,7 +377,9 @@ def test_cli_compress_output_without_suffix(raw_index, tmp_path):
     idx.save(raw_p)
     out = str(tmp_path / "noext")
     assert main(["compress", raw_p, "-o", out]) == 0
-    assert SketchIndex.load(out + ".npz").params.compact
+    # save() honors the EXACT path (no silent .npz append — r3 fix), and
+    # loaders detect index files by content, so any extension round-trips.
+    assert SketchIndex.load(out).params.compact
 
 
 def test_collision_bias_at_production_s():
