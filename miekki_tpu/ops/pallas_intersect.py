@@ -375,6 +375,56 @@ def _counts_for_col32(r, c_row, s: int, sp: int):
     return shared, union, inter
 
 
+def _tile_kernel32_u2(r_ref, c_hbm, shared_ref, union_ref, inter_ref,
+                      buf, sems, *, s: int, sp: int, tj: int):
+    """Column-loop unrolled x2 single-plane kernel (compact codes).  Two
+    independent merges per iteration give the scheduler ILP across their
+    serial compare-exchange chains — same structure as `_tile_kernel_u2`,
+    but the single plane HALVES the live VMEM, so unlike the u64 kernel
+    (Mosaic scoped-vmem OOM at sp=16384, see _tile_kernel_u2) this fits at
+    the production s=10k width.  Requires tj even (caller pads); 4 slots."""
+    r = r_ref[...]
+    bi = r.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bi, tj), 1)
+    zeros = jnp.zeros((bi, tj), jnp.int32)
+
+    def dma(slot, j):
+        return pltpu.make_async_copy(c_hbm.at[j], buf.at[slot], sems.at[slot])
+
+    dma(0, 0).start()
+    dma(1, 1).start()
+
+    def body(it, carry):
+        sh_acc, un_acc, in_acc = carry
+        j0 = 2 * it
+        base = jax.lax.rem(it, 2) * 2          # this iteration's slot pair
+        nbase = jax.lax.rem(it + 1, 2) * 2     # next iteration's slot pair
+
+        @pl.when(j0 + 2 < tj)
+        def _():
+            dma(nbase, j0 + 2).start()
+            dma(nbase + 1, j0 + 3).start()
+
+        dma(base, j0).wait()
+        dma(base + 1, j0 + 1).wait()
+        sh0, un0, in0 = _counts_for_col32(r, buf[base], s, sp)
+        sh1, un1, in1 = _counts_for_col32(r, buf[base + 1], s, sp)
+        hit0 = lane == j0
+        hit1 = lane == j0 + 1
+        sh_acc = jnp.where(hit0, sh0[:, None],
+                           jnp.where(hit1, sh1[:, None], sh_acc))
+        un_acc = jnp.where(hit0, un0[:, None],
+                           jnp.where(hit1, un1[:, None], un_acc))
+        in_acc = jnp.where(hit0, in0[:, None],
+                           jnp.where(hit1, in1[:, None], in_acc))
+        return sh_acc, un_acc, in_acc
+
+    sh, un, it_ = jax.lax.fori_loop(0, tj // 2, body, (zeros, zeros, zeros))
+    shared_ref[...] = sh
+    union_ref[...] = un
+    inter_ref[...] = it_
+
+
 def _tile_kernel32(r_ref, c_hbm, shared_ref, union_ref, inter_ref,
                    buf, sems, *, s: int, sp: int, tj: int):
     r = r_ref[...]
@@ -411,12 +461,14 @@ def _tile_kernel32(r_ref, c_hbm, shared_ref, union_ref, inter_ref,
     inter_ref[...] = it_
 
 
-@partial(jax.jit, static_argnames=("s", "interpret"))
+@partial(jax.jit, static_argnames=("s", "interpret", "unroll"))
 def tile_counts_pallas32(rows: jax.Array, cols: jax.Array, s: int,
-                         interpret: bool = False):
+                         interpret: bool = False, unroll: int = None):
     """All-pairs counts for a COMPACT tile: rows [Ti, sp] / cols [Tj, sp]
     uint32 codes, sp 128-aligned.  Same output dict as tile_counts_pallas.
-    Half the merge ops and half the VMEM of the u64 kernel."""
+    Half the merge ops and half the VMEM of the u64 kernel — which also
+    makes the x2 column unroll (MIEKKI_TILE_UNROLL=2) VMEM-feasible at the
+    production s=10k width, unlike the u64 kernel."""
     ti, sp = rows.shape
     tj = cols.shape[0]
     if sp % 128 or cols.shape[1] != sp:
@@ -427,26 +479,39 @@ def tile_counts_pallas32(rows: jax.Array, cols: jax.Array, s: int,
         rows = jnp.pad(rows, ((0, ti_p - ti), (0, 0)),
                        constant_values=np.uint32(0xFFFFFFFF))
     cols_rev = cols[:, ::-1].reshape(tj, 1, sp)
+
+    if unroll is None:  # same env resolution as tile_counts_pallas
+        import os
+
+        unroll = int(os.environ.get("MIEKKI_TILE_UNROLL", "1"))
+    unroll2 = unroll == 2
+    tj_orig = tj
+    if unroll2 and tj % 2:
+        cols_rev = jnp.pad(cols_rev, ((0, 1), (0, 0), (0, 0)),
+                           constant_values=np.uint32(0xFFFFFFFF))
+        tj += 1
+    n_slots = 4 if unroll2 else 2
     out_shape = jax.ShapeDtypeStruct((ti_p, tj), jnp.int32)
     row_spec = pl.BlockSpec((BI, sp), lambda i: (i, 0), memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     out_spec = pl.BlockSpec((BI, tj), lambda i: (i, 0), memory_space=pltpu.VMEM)
     shared, union, inter = pl.pallas_call(
-        partial(_tile_kernel32, s=s, sp=sp, tj=tj),
+        partial(_tile_kernel32_u2 if unroll2 else _tile_kernel32,
+                s=s, sp=sp, tj=tj),
         grid=(ti_p // BI,),
         in_specs=[row_spec, col_spec],
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(out_shape, out_shape, out_shape),
         scratch_shapes=[
-            pltpu.VMEM((2, 1, sp), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_slots, 1, sp), jnp.uint32),
+            pltpu.SemaphoreType.DMA((n_slots,)),
         ],
         interpret=interpret,
     )(rows, cols_rev)
     return {
-        "shared_in_x": shared[:ti],
-        "union_size": union[:ti],
-        "inter_full": inter[:ti],
+        "shared_in_x": shared[:ti, :tj_orig],
+        "union_size": union[:ti, :tj_orig],
+        "inter_full": inter[:ti, :tj_orig],
         "n_a": jnp.sum(rows != np.uint32(0xFFFFFFFF),
                        axis=-1).astype(jnp.int32)[:ti],
         "n_b": jnp.sum(cols != np.uint32(0xFFFFFFFF),

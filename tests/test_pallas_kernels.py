@@ -123,3 +123,23 @@ def test_merge_any_width_zero_head_ties():
     want = I.pair_counts_merge((ap[0][0], ap[1][0]), (bp[0][0], bp[1][0]), s)
     for key in ("shared_in_x", "union_size", "inter_full"):
         assert int(got[key][0, 0]) == int(want[key]), key
+
+
+@pytest.mark.parametrize("tj", [6, 7])  # even + odd (odd exercises padding)
+def test_compact_kernel_unroll2_matches_unroll1(tj):
+    """The x2 column-unrolled single-plane kernel (VMEM-feasible at s=10k
+    thanks to the halved compact footprint) must be bitwise-identical to
+    the unroll=1 kernel, including when tj is odd (caller pads)."""
+    rng = np.random.default_rng(tj)
+    ti, sp = 9, 256
+    s = sp - 16
+    tab = np.full((ti + tj, sp), np.uint32(0xFFFFFFFF), np.uint32)
+    pool = np.unique(rng.choice(1 << 31, size=4 * sp, replace=False)).astype(np.uint32)
+    for i in range(ti + tj):
+        n = rng.integers(sp // 2, sp + 1)
+        tab[i, :n] = np.sort(rng.choice(pool, size=n, replace=False))
+    rows, cols = jnp.asarray(tab[:ti]), jnp.asarray(tab[ti:])
+    got1 = PI.tile_counts_pallas32(rows, cols, s, interpret=INTERPRET, unroll=1)
+    got2 = PI.tile_counts_pallas32(rows, cols, s, interpret=INTERPRET, unroll=2)
+    for key in ("shared_in_x", "union_size", "inter_full", "n_a", "n_b"):
+        assert np.array_equal(np.asarray(got1[key]), np.asarray(got2[key])), key
