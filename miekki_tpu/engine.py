@@ -278,7 +278,7 @@ def dist_tiles(
     ti_flat = np.repeat(np.arange(tile, dtype=np.int64), tile)
     tj_flat = np.tile(np.arange(tile, dtype=np.int64), tile)
 
-    impl = _intersect._intersect_impl()
+    impl = _intersect._intersect_impl(tile)
     compact = index_a.params.compact  # single-plane codes: upload hi only,
     # compare via the 32-bit kernels (half the merge ops and VMEM)
 

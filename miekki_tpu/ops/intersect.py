@@ -155,19 +155,31 @@ ROW_GROUP = 8  # rows per sequential step — bounds gather temps to
 # intermediates OOMs at Ti = Tj = 128, s = 10k).
 
 
-def _intersect_impl() -> str:
+# auto-dispatch crossover for the MXU stream-pass counter, measured on the
+# real chip (2026-08-19, medians of 5, two independent runs each): at tile
+# 256 mxu LOSES (369k vs pallas 445k pairs/s — fixed per-dispatch cost);
+# at 512 it wins 784-818k vs 481-520k (1.6x); at 1024, 924k vs 542k (1.7x).
+MXU_AUTO_MIN_TILE = 512
+
+
+def _intersect_impl(tile: int = None) -> str:
     """MIEKKI_INTERSECT=auto|pallas|bitonic|searchsorted|mxu (env).  auto:
-    the Pallas VMEM bitonic-merge kernel on TPU (XLA gathers are scalarized
-    there), searchsorted elsewhere (fast native gathers on CPU).  mxu: the
-    stream-pass one-hot-matmul counter (ops/mxu_intersect.py) — host-
-    synchronizing (resolves ambiguous pairs eagerly), so only valid from
-    host-orchestrated callers like engine.dist_tiles, NOT inside jit/scan
-    (the ring passes its impl explicitly)."""
+    on TPU, the MXU stream-pass one-hot-matmul counter
+    (ops/mxu_intersect.py) for host-orchestrated tiles >= MXU_AUTO_MIN_TILE
+    (callers pass `tile`), the Pallas VMEM bitonic-merge kernel otherwise;
+    searchsorted elsewhere (fast native gathers on CPU, where XLA
+    scalarizes them on TPU).  mxu is host-synchronizing (resolves ambiguous
+    pairs eagerly), so auto only selects it when `tile` is given — which
+    traced callers never do (they use _intersect_impl_traced)."""
     import os
 
     impl = os.environ.get("MIEKKI_INTERSECT", "auto").lower()
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "searchsorted"
+        if jax.default_backend() == "tpu":
+            impl = ("mxu" if tile is not None and tile >= MXU_AUTO_MIN_TILE
+                    else "pallas")
+        else:
+            impl = "searchsorted"
     return impl
 
 
@@ -221,7 +233,7 @@ def tile_counts(rows: u64.Pair, cols: u64.Pair, s: int, impl: str = None):
     effect (ADVICE r1: trace-time env reads were silently pinned).  Callers
     inside a traced context (the ring) should pass `impl` explicitly.
     """
-    impl = impl or _intersect_impl()
+    impl = impl or _intersect_impl(min(rows[0].shape[0], cols[0].shape[0]))
     if impl == "mxu":
         from . import mxu_intersect
 
@@ -398,7 +410,7 @@ def tile_counts_compact(rows: jax.Array, cols: jax.Array, s: int,
     """tile_counts for COMPACT sketches: [Ti, s] / [Tj, s] uint32 code
     planes.  Same output dict; dispatches to single-plane kernels (pallas /
     bitonic / searchsorted — mxu callers keep the (code, 0) pair path)."""
-    impl = impl or _intersect_impl()
+    impl = impl or _intersect_impl(min(rows.shape[0], cols.shape[0]))
     if impl == "mxu":
         from . import mxu_intersect
         from .compact import lo_plane

@@ -66,12 +66,13 @@ for i in range(8):
     for j in range(8):
         sh, un, _ = OC.mash_jaccard(sketches[i], sketches[8 + j], s_small)
         oracle_shared[i, j], oracle_union[i, j] = sh, un
-for impl in ("bitonic", "pallas"):
+for impl in ("bitonic", "pallas", "mxu"):
     os.environ["MIEKKI_INTERSECT"] = impl
     c = I.tile_counts(rows, cols, s_small)
     ok = np.array_equal(np.asarray(c["shared_in_x"]), oracle_shared) and \
          np.array_equal(np.asarray(c["union_size"]), oracle_union)
     print(f"intersect[{impl}] == oracle:", ok, flush=True)
+os.environ.pop("MIEKKI_INTERSECT", None)
 
 # ---------- perf: sketch ----------
 s = 10_000
@@ -165,6 +166,15 @@ def _check_compact():
              for key in ("shared_in_x", "union_size", "inter_full"))
     print("compact pallas32 == pair path:", ok, flush=True)
 
+    # x2 column-unrolled single-plane kernel (VMEM-feasible at s=10k only
+    # on the compact plane) vs unroll=1, compiled on silicon
+    from miekki_tpu.ops import pallas_intersect as PI2
+    u1 = PI2.tile_counts_pallas32(r32, c32, s2, unroll=1)
+    u2 = PI2.tile_counts_pallas32(r32, c32, s2, unroll=2)
+    ok2 = all(np.array_equal(np.asarray(u1[key]), np.asarray(u2[key]))
+              for key in ("shared_in_x", "union_size", "inter_full"))
+    print("compact pallas32 unroll2 == unroll1:", ok2, flush=True)
+
     # perf: compact kernel at production shapes
     s3 = 10_000
     T2 = 128
@@ -179,6 +189,17 @@ def _check_compact():
     except Exception as e:
         print(f"PERF intersect[compact-pallas] FAILED: "
               f"{type(e).__name__} {str(e)[:160]}", flush=True)
+    for unroll in (1, 2):
+        from miekki_tpu.ops import pallas_intersect as PI2
+
+        fu = lambda a, b: PI2.tile_counts_pallas32(a, b, s3, unroll=unroll)
+        try:
+            dt = timeit(fu, rp, cp_)
+            print(f"PERF intersect[compact-pallas-u{unroll}]: {dt*1e3:.2f} ms"
+                  f" = {T2*T2/dt/1e3:.1f}k pairs/s", flush=True)
+        except Exception as e:
+            print(f"PERF intersect[compact-pallas-u{unroll}] FAILED: "
+                  f"{type(e).__name__} {str(e)[:160]}", flush=True)
 
 _check_compact()
 print("DONE3", flush=True)
