@@ -118,7 +118,10 @@ def _check_screen():
     h_all, v_all = h_pre, v_pre
     hits_oracle = np.isin(db_vals, h_all[v_all])
     acc = jnp.zeros(len(db_vals) + 1, dtype=jnp.bool_)
-    acc = jax.jit(lambda a, b: E._screen_update_impl(a, dbh, dbl, th, tl, b, k2))(
+    # _screen_update_impl returns (bitmap, n_windows, n_survivors) since the
+    # r2 survivor-rate observability change
+    acc, n_win, n_surv = jax.jit(
+        lambda a, b: E._screen_update_impl(a, dbh, dbl, th, tl, b, k2))(
         acc, jnp.asarray(codes, jnp.int32).astype(jnp.uint8))
     got_first = np.asarray(acc)[:-1]
     first_occ = np.searchsorted(db_vals, db_vals, side="left")
@@ -189,12 +192,14 @@ def _check_compact():
     except Exception as e:
         print(f"PERF intersect[compact-pallas] FAILED: "
               f"{type(e).__name__} {str(e)[:160]}", flush=True)
+    tgt = -(-s3 // 128) * 128  # the kernel needs 128-aligned widths
+    rp_p, cp_p = I2._pad32(rp, tgt), I2._pad32(cp_, tgt)
     for unroll in (1, 2):
         from miekki_tpu.ops import pallas_intersect as PI2
 
         fu = lambda a, b: PI2.tile_counts_pallas32(a, b, s3, unroll=unroll)
         try:
-            dt = timeit(fu, rp, cp_)
+            dt = timeit(fu, rp_p, cp_p)
             print(f"PERF intersect[compact-pallas-u{unroll}]: {dt*1e3:.2f} ms"
                   f" = {T2*T2/dt/1e3:.1f}k pairs/s", flush=True)
         except Exception as e:
