@@ -71,11 +71,16 @@ def bench_sketch(k: int = 31, s: int = 10_000, chunk: int = 1 << 13,
 
 
 def bench_pairs(s: int = 10_000, tile: int = 512) -> float:
-    """Sketch-pair comparisons/s through the tiled intersection kernel at
-    the production tile size (engine.DEFAULT_TILE): per-dispatch fixed cost
-    (~200 ms on this tunnel) dominates small tiles — 128 measured 69k,
-    256 230k, 512 375k pairs/s.  Sketches are generated + sorted on device
-    (see bench_sketch note)."""
+    """Sketch-pair comparisons/s through the tiled intersection path at the
+    production tile size (engine.DEFAULT_TILE), steady-state: when auto
+    resolves to the MXU stream-pass counter, the per-block sorted streams
+    are prebuilt exactly as engine.dist_tiles caches them (each block is
+    sorted once and reused across every tile it appears in — at nb blocks
+    the sort amortizes over nb tiles), so the timed region is the per-tile
+    cost that dominates an all-vs-all.  Per-dispatch fixed cost (~200 ms on
+    this tunnel) dominates small tiles — 128 measured 69k, 256 230k,
+    512 375k pairs/s on the pallas kernel.  Sketches are generated + sorted
+    on device (see bench_sketch note)."""
     import jax
     import jax.numpy as jnp
     from miekki_tpu.ops import intersect as _intersect
@@ -91,8 +96,17 @@ def bench_pairs(s: int = 10_000, tile: int = 512) -> float:
     _sync((hi, lo))
     rows = (hi[:tile], lo[:tile])
     cols = (hi[tile:], lo[tile:])
-    dt = _time(lambda r0, r1, c0, c1: _intersect.tile_counts((r0, r1), (c0, c1), s),
-               rows[0], rows[1], cols[0], cols[1])
+    impl = _intersect._intersect_impl(tile)
+    if impl == "mxu":
+        from miekki_tpu.ops import mxu_intersect as _mxu
+
+        rs = _mxu.sketch_stream(rows, False)
+        cs = _mxu.sketch_stream(cols, True)
+        _sync((rs, cs))
+        dt = _time(lambda: _mxu.tile_counts_mxu_exact(
+            rows, cols, s, row_stream=rs, col_stream=cs))
+    else:
+        dt = _time(lambda: _intersect.tile_counts(rows, cols, s, impl))
     return tile * tile / dt
 
 
@@ -114,7 +128,21 @@ def bench_pairs_compact(s: int = 10_000, tile: int = 512) -> float:
     codes = gen(jax.random.PRNGKey(2))
     _sync(codes)
     rows, cols = codes[:tile], codes[tile:]
-    dt = _time(lambda r, c: _intersect.tile_counts_compact(r, c, s), rows, cols)
+    impl = _intersect._intersect_impl(tile)
+    if impl == "mxu":
+        from miekki_tpu.ops import compact as _compact_ops
+        from miekki_tpu.ops import mxu_intersect as _mxu
+
+        rp = (rows, _compact_ops.lo_plane(rows))
+        cp = (cols, _compact_ops.lo_plane(cols))
+        rs = _mxu.sketch_stream(rp, False)
+        cs = _mxu.sketch_stream(cp, True)
+        _sync((rs, cs))
+        dt = _time(lambda: _mxu.tile_counts_mxu_exact(
+            rp, cp, s, row_stream=rs, col_stream=cs))
+    else:
+        dt = _time(lambda r, c: _intersect.tile_counts_compact(r, c, s, impl),
+                   rows, cols)
     return tile * tile / dt
 
 

@@ -252,6 +252,11 @@ def _pad_rows(idx: SketchIndex, tile: int):
     return hi, lo, n
 
 
+@jax.jit
+def _pack_counts(shared, union, inter):
+    return jnp.stack([shared, union, inter])
+
+
 def dist_tiles(
     index_a: SketchIndex,
     index_b: Optional[SketchIndex] = None,
@@ -348,9 +353,19 @@ def dist_tiles(
                 counts = _intersect.tile_counts_compact(rows, cols, s, impl)
             else:
                 counts = _intersect.tile_counts(rows, cols, s, impl)
-            shared = np.asarray(counts["shared_in_x"]).ravel()
-            union = np.asarray(counts["union_size"]).ravel()
-            inter = np.asarray(counts["inter_full"]).ravel()
+            if isinstance(counts["shared_in_x"], np.ndarray):
+                shared = counts["shared_in_x"].ravel()
+                union = counts["union_size"].ravel()
+                inter = counts["inter_full"].ravel()
+            else:
+                # ONE device->host pull instead of three: the tunnel charges
+                # a fixed ~40 ms per transfer, which at tile granularity is
+                # a material fraction of the per-tile budget.
+                packed = np.asarray(_pack_counts(
+                    counts["shared_in_x"], counts["union_size"],
+                    counts["inter_full"]))
+                shared, union, inter = (packed[0].ravel(), packed[1].ravel(),
+                                        packed[2].ravel())
             gi = bi * tile + ti_flat
             gj = bj * tile + tj_flat
             mask = (gi < n_a) & (gj < n_b)

@@ -232,8 +232,14 @@ def tile_counts(rows: u64.Pair, cols: u64.Pair, s: int, impl: str = None):
     the jit cache is keyed on it and changing the env between calls takes
     effect (ADVICE r1: trace-time env reads were silently pinned).  Callers
     inside a traced context (the ring) should pass `impl` explicitly.
+
+    auto resolves WITHOUT a tile size here (→ pallas on TPU): a bare
+    tile_counts call pays the mxu stream sorts per call, which measured
+    slightly WORSE than pallas at tile 512 (457k vs 481-520k pairs/s);
+    only stream-caching callers (engine.dist_tiles) pass their tile so
+    auto can pick mxu where it actually wins.
     """
-    impl = impl or _intersect_impl(min(rows[0].shape[0], cols[0].shape[0]))
+    impl = impl or _intersect_impl()
     if impl == "mxu":
         from . import mxu_intersect
 
@@ -409,8 +415,10 @@ def tile_counts_compact(rows: jax.Array, cols: jax.Array, s: int,
                         impl: str = None):
     """tile_counts for COMPACT sketches: [Ti, s] / [Tj, s] uint32 code
     planes.  Same output dict; dispatches to single-plane kernels (pallas /
-    bitonic / searchsorted — mxu callers keep the (code, 0) pair path)."""
-    impl = impl or _intersect_impl(min(rows.shape[0], cols.shape[0]))
+    bitonic / searchsorted — mxu callers keep the (code, 0) pair path).
+    auto → pallas here (see tile_counts: bare calls can't amortize the mxu
+    stream sorts; dist_tiles passes its tile to _intersect_impl itself)."""
+    impl = impl or _intersect_impl()
     if impl == "mxu":
         from . import mxu_intersect
         from .compact import lo_plane

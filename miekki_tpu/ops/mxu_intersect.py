@@ -194,6 +194,28 @@ def _tile_counts_mxu(row_stream, col_stream, ti: int, tj: int, s: int,
     }
 
 
+@partial(jax.jit, static_argnames=("ti", "tj", "s", "chunk", "band"))
+def _mxu_exact_packed(row_stream, col_stream, rows: u64.Pair,
+                      cols: u64.Pair, ti: int, tj: int, s: int,
+                      chunk: int, band: int):
+    """The full exact-path device computation as ONE dispatch returning ONE
+    flat int32 array [4*ti*tj + ti + tj + 1]: (lb | ub | inter | union |
+    n_a | n_b | overflow).  The tunneled platform charges a ~40 ms fixed
+    cost per device execution AND per host transfer; the previous
+    dict-of-arrays epilogue (eager jnp sums/broadcasts + 7 np.asarray
+    pulls) measured 494k pairs/s at tile 512 where the raw MXU pass
+    benches 818k — the gap was almost entirely those fixed costs."""
+    out = _tile_counts_mxu(row_stream, col_stream, ti, tj, s, chunk, band)
+    n_a = jnp.sum((~u64.is_inf(rows)).astype(jnp.int32), axis=-1)
+    n_b = jnp.sum((~u64.is_inf(cols)).astype(jnp.int32), axis=-1)
+    union = jnp.minimum(n_a[:, None] + n_b[None, :] - out["inter_full"], s)
+    return jnp.concatenate([
+        out["shared_lb"].reshape(-1), out["shared_ub"].reshape(-1),
+        out["inter_full"].reshape(-1), union.reshape(-1),
+        n_a, n_b, out["overflow"].astype(jnp.int32)[None],
+    ])
+
+
 def tile_counts_mxu_exact(rows: u64.Pair, cols: u64.Pair, s: int, *,
                           chunk: int = DEFAULT_CHUNK, band: int = DEFAULT_BAND,
                           row_stream=None, col_stream=None):
@@ -201,9 +223,15 @@ def tile_counts_mxu_exact(rows: u64.Pair, cols: u64.Pair, s: int, *,
     bitwise-proven bitonic pair kernel for ambiguous pairs (lb != ub) or
     for the whole tile on band overflow.  Returns the same dict of int32
     [Ti, Tj] arrays as intersect.tile_counts (host-synchronized)."""
-    out = tile_counts_mxu(rows, cols, s, chunk=chunk, band=band,
-                          row_stream=row_stream, col_stream=col_stream)
-    if bool(out["overflow"]):
+    if row_stream is None:
+        row_stream = sketch_stream(rows, False)
+    if col_stream is None:
+        col_stream = sketch_stream(cols, True)
+    ti = rows[0].shape[0]
+    tj = cols[0].shape[0]
+    flat = np.asarray(_mxu_exact_packed(row_stream, col_stream, rows, cols,
+                                        ti, tj, s, chunk, band))
+    if bool(flat[-1]):  # overflow
         # _intersect_impl() would return "mxu" here (that's how we were
         # reached); resolve to the backend's traceable kernel instead —
         # _tile_counts has no mxu branch and its else-branch is the
@@ -211,13 +239,16 @@ def tile_counts_mxu_exact(rows: u64.Pair, cols: u64.Pair, s: int, *,
         from .intersect import _tile_counts, _intersect_impl_traced
         return jax.tree.map(
             np.asarray, _tile_counts(rows, cols, s, _intersect_impl_traced()))
-    lb = np.asarray(out["shared_lb"])
-    ub = np.asarray(out["shared_ub"])
+    m = ti * tj
+    lb = flat[:m].reshape(ti, tj)
+    ub = flat[m:2 * m].reshape(ti, tj)
+    n_a = flat[4 * m:4 * m + ti]
+    n_b = flat[4 * m + ti:4 * m + ti + tj]
     res = {
-        "inter_full": np.asarray(out["inter_full"]),
-        "n_a": np.asarray(out["n_a"]),
-        "n_b": np.asarray(out["n_b"]),
-        "union_size": np.asarray(out["union_size"]),
+        "inter_full": flat[2 * m:3 * m].reshape(ti, tj),
+        "n_a": np.broadcast_to(n_a[:, None], (ti, tj)),
+        "n_b": np.broadcast_to(n_b[None, :], (ti, tj)),
+        "union_size": flat[3 * m:4 * m].reshape(ti, tj),
         "shared_in_x": lb.copy(),
     }
     amb_i, amb_j = np.nonzero(lb != ub)
