@@ -29,12 +29,20 @@ def main() -> int:
     ap.add_argument("--genomes", type=int, default=10_240)
     ap.add_argument("--s", type=int, default=10_000)
     ap.add_argument("--genome-len", type=int, default=30_000)
-    ap.add_argument("--tile", type=int, default=256)
+    ap.add_argument("--tile", type=int, default=512)
+    ap.add_argument("--impl", default=None,
+                    help="intersect impl (default: auto at --tile, i.e. "
+                    "mxu on TPU for tile >= 512)")
     ap.add_argument("--workdir", default="/tmp/miekki_10k_tpu")
     ap.add_argument("--out", default="artifacts/allvsall_10k_tpu.json")
     args = ap.parse_args()
 
     import jax
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor a CPU
+    # request through the config API (same idiom as the other tools)
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from miekki_tpu.utils import compile_cache
@@ -92,6 +100,28 @@ def main() -> int:
     lo = jnp.asarray(idx.lo)
     T = args.tile
     nt = -(-n // T)
+    impl = args.impl or I._intersect_impl(T)
+    report["intersect_impl"] = impl
+    print(f"[10k] intersect impl: {impl} (tile {T})", flush=True)
+    mxu = impl == "mxu"
+    if mxu:
+        from miekki_tpu.ops import mxu_intersect as MX
+
+        # Whole DB + both stream roles fit HBM at this scale (~3.3 GB of
+        # 16): sort each block's stream ONCE per role, reuse across the
+        # nt tiles it appears in (the engine.dist_tiles caching pattern).
+        row_streams, col_streams = [], []
+        for b in range(nt):
+            r0, r1 = b * T, min((b + 1) * T, n)
+            blk = (hi[r0:r1], lo[r0:r1])
+            row_streams.append(MX.sketch_stream(blk, False))
+            col_streams.append(MX.sketch_stream(blk, True))
+        np.asarray(col_streams[-1][0][:8])  # force
+
+    @jax.jit
+    def pack3(a, b, c):
+        return jnp.stack([a, b, c])
+
     t0 = time.time()
     shared = np.zeros((n, n), np.int32)
     union = np.zeros((n, n), np.int32)
@@ -101,11 +131,22 @@ def main() -> int:
         r0, r1 = bi * T, min((bi + 1) * T, n)
         for bj in range(bi, nt):
             c0, c1 = bj * T, min((bj + 1) * T, n)
-            out = I.tile_counts((hi[r0:r1], lo[r0:r1]),
-                                (hi[c0:c1], lo[c0:c1]), args.s)
-            shared[r0:r1, c0:c1] = np.asarray(out["shared_in_x"])
-            union[r0:r1, c0:c1] = np.asarray(out["union_size"])
-            inter[r0:r1, c0:c1] = np.asarray(out["inter_full"])
+            if mxu:
+                out = MX.tile_counts_mxu_exact(
+                    (hi[r0:r1], lo[r0:r1]), (hi[c0:c1], lo[c0:c1]), args.s,
+                    row_stream=row_streams[bi], col_stream=col_streams[bj])
+                shared[r0:r1, c0:c1] = out["shared_in_x"]
+                union[r0:r1, c0:c1] = out["union_size"]
+                inter[r0:r1, c0:c1] = out["inter_full"]
+            else:
+                out = I.tile_counts((hi[r0:r1], lo[r0:r1]),
+                                    (hi[c0:c1], lo[c0:c1]), args.s, impl)
+                packed = np.asarray(pack3(out["shared_in_x"],
+                                          out["union_size"],
+                                          out["inter_full"]))
+                shared[r0:r1, c0:c1] = packed[0]
+                union[r0:r1, c0:c1] = packed[1]
+                inter[r0:r1, c0:c1] = packed[2]
             done += 1
         if bi % 8 == 0:
             el = time.time() - t0
