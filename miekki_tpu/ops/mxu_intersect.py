@@ -54,7 +54,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import u64
-from .intersect import pair_counts_bitonic, _pad_pow2
 
 DEFAULT_CHUNK = 2048
 DEFAULT_BAND = 8
@@ -78,17 +77,28 @@ def sketch_stream(p: u64.Pair, is_col: bool):
     return hi, lo, pay
 
 
+def _mxu_mode() -> str:
+    """MIEKKI_MXU_MODE=full|band.  full (default): the exact equality-
+    matrix pass (`_tile_counts_mxu_full`) — correct for ANY value-run
+    length, never overflows.  band: the legacy W-truncated shifted-compare
+    pass, kept for comparison benchmarks."""
+    import os
+
+    return os.environ.get("MIEKKI_MXU_MODE", "full").lower()
+
+
 def tile_counts_mxu(rows: u64.Pair, cols: u64.Pair, s: int, *,
                     chunk: int = DEFAULT_CHUNK, band: int = DEFAULT_BAND,
-                    row_stream=None, col_stream=None):
+                    row_stream=None, col_stream=None, mode: str = None):
     """All-pairs counts for a tile via the MXU stream pass.
 
     Returns dict of device arrays: inter_full / n_a / n_b / union_size
     (exact int32), shared_lb / shared_ub (int32 bounds on shared_in_x,
     equal for every pair without a match in its s-crossing chunk), and
-    overflow (bool scalar: some value-run exceeded band+1 — counts for
-    runs longer than the band are NOT complete and the tile must fall
-    back).  Pass precomputed sketch_stream results to amortize the sort.
+    overflow (bool scalar; always False in the default `full` mode — in
+    the legacy `band` mode it flags a value-run exceeding band+1, whose
+    counts are then incomplete and the tile must fall back).  Pass
+    precomputed sketch_stream results to amortize the sort.
     """
     if row_stream is None:
         row_stream = sketch_stream(rows, False)
@@ -96,7 +106,17 @@ def tile_counts_mxu(rows: u64.Pair, cols: u64.Pair, s: int, *,
         col_stream = sketch_stream(cols, True)
     ti = rows[0].shape[0]
     tj = cols[0].shape[0]
-    out = _tile_counts_mxu(row_stream, col_stream, ti, tj, s, chunk, band)
+    mode = mode or _mxu_mode()
+    if mode == "full":
+        # chunk = ti + tj: the minimum satisfying the run-spans-<=2-chunks
+        # invariant, and the measured optimum — the E-matmul cost is LINEAR
+        # in chunk (L·chunk·ti flops), so the smallest legal chunk wins:
+        # 286 vs 380 ms/tile family, 316 vs 369 random (tile 512, s=10k).
+        out = _tile_counts_mxu_full(row_stream, col_stream, ti, tj, s,
+                                    ti + tj)
+    else:
+        out = _tile_counts_mxu(row_stream, col_stream, ti, tj, s, chunk,
+                               band)
     n_a = jnp.sum((~u64.is_inf(rows)).astype(jnp.int32), axis=-1)
     n_b = jnp.sum((~u64.is_inf(cols)).astype(jnp.int32), axis=-1)
     out["union_size"] = jnp.minimum(
@@ -106,6 +126,125 @@ def tile_counts_mxu(rows: u64.Pair, cols: u64.Pair, s: int, *,
     out["n_a"] = jnp.broadcast_to(n_a[:, None], (ti, tj))
     out["n_b"] = jnp.broadcast_to(n_b[None, :], (ti, tj))
     return out
+
+
+@partial(jax.jit, static_argnames=("ti", "tj", "s", "chunk"))
+def _tile_counts_mxu_full(row_stream, col_stream, ti: int, tj: int, s: int,
+                          chunk: int):
+    """Exact stream pass for ANY value-run length (r3; supersedes the
+    banded pass as the default).
+
+    Within a chunk, cross-side matches come from the full equality matrix
+    E[p,q] = (val_p == val_q) driven through the MXU:
+        m1 = ohRᵀ·E   ∈ {0,1}^[Ti,c]   (sketch values are DISTINCT, so a
+                                         row sketch has ≤ 1 element per
+                                         value — exact in bf16)
+        mᵢ = m1·ohC   ∈ f32^[Ti,Tj]    (counts < 2^24, exact)
+    This is the segmented rank-1 accumulation the module docstring costed
+    as "~256x the VPU work of band=8" — reformulated as two matmuls it is
+    MXU work instead, and the 10k-genome family run (r3) measured the band
+    assumption failing at production scale (runs up to 109 ≫ band=8; every
+    tile overflowed into the pallas fallback, 228k pairs/s effective).
+
+    Across chunk edges: a run has ≤ ti+tj ≤ chunk elements, so it spans at
+    most TWO chunks; the only value that can cross is the previous chunk's
+    LAST one.  The correction is the pair of rank-1 outer products
+    a_prev⊗b_head + a_head⊗b_prev on {0,1} per-sketch membership vectors
+    of that single value.  Rank bracketing for those matches is EXACT: the
+    crossing value is the largest seen through the previous chunk's end,
+    so its union rank equals the pair's end-of-previous-chunk distinct
+    count — both lb and ub use that one indicator (no new ambiguity).
+    """
+    assert ti + tj <= chunk, (ti, tj, chunk)
+    rh, rl, rp = row_stream
+    ch, cl, cp = col_stream
+    hi, lo, pay = u64.sort(  # merge of two presorted streams
+        (jnp.concatenate([rh, ch]), jnp.concatenate([rl, cl])),
+        jnp.concatenate([rp, cp]),
+    )
+    n = hi.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    hi = jnp.pad(hi, (0, pad), constant_values=u64.INF_HI)
+    lo = jnp.pad(lo, (0, pad), constant_values=u64.INF_LO)
+    pay = jnp.pad(pay, (0, pad))
+
+    iota_i = jnp.arange(ti, dtype=jnp.uint32)
+    iota_j = jnp.arange(tj, dtype=jnp.uint32) | _COL_TAG
+    zero_mat = jnp.zeros((ti, tj), jnp.float32)
+    zeros_a = jnp.zeros((ti,), jnp.float32)
+    zeros_b = jnp.zeros((tj,), jnp.float32)
+
+    def body(carry, start):
+        (c_mat, cum_a, cum_b, lb, ub,
+         a_carry, b_carry, vh_carry, vl_carry, prev_end_le) = carry
+        whi = jax.lax.dynamic_slice(hi, (start,), (chunk,))
+        wlo = jax.lax.dynamic_slice(lo, (start,), (chunk,))
+        wpay = jax.lax.dynamic_slice(pay, (start,), (chunk,))
+        valid = ~((whi == u64.INF_HI) & (wlo == u64.INF_LO))
+        oh_row = ((wpay[:, None] == iota_i[None, :])
+                  & valid[:, None]).astype(jnp.bfloat16)
+        oh_col = ((wpay[:, None] == iota_j[None, :])
+                  & valid[:, None]).astype(jnp.bfloat16)
+
+        # boundary correction: continuation of the carried open run
+        head = ((whi == vh_carry) & (wlo == vl_carry) & valid)
+        hb = head.astype(jnp.bfloat16)[:, None]
+        a_head = jnp.sum((hb * oh_row).astype(jnp.float32), axis=0)
+        b_head = jnp.sum((hb * oh_col).astype(jnp.float32), axis=0)
+        # The crossing value is the largest seen through the previous
+        # chunk's end AND was counted there (one side holds it in prev), so
+        # its 1-based union rank EQUALS prev end_distinct: qualification is
+        # end <= s, the same indicator for lb and ub (no new ambiguity).
+        corr = (a_carry[:, None] * b_head[None, :]
+                + a_head[:, None] * b_carry[None, :])
+        lb = lb + corr * prev_end_le
+        ub = ub + corr * prev_end_le
+
+        # within-chunk matches via the equality matrix on the MXU
+        eq = ((whi[:, None] == whi[None, :])
+              & (wlo[:, None] == wlo[None, :])
+              & valid[:, None] & valid[None, :]).astype(jnp.bfloat16)
+        m1 = jnp.dot(oh_row.T, eq,
+                     preferred_element_type=jnp.float32)  # {0,1}
+        m_in = jnp.dot(m1.astype(jnp.bfloat16), oh_col,
+                       preferred_element_type=jnp.float32)
+
+        cnt_a = jnp.sum(oh_row.astype(jnp.float32), axis=0)
+        cnt_b = jnp.sum(oh_col.astype(jnp.float32), axis=0)
+        start_distinct = cum_a[:, None] + cum_b[None, :] - c_mat
+        c1 = c_mat + corr + m_in
+        ca1 = cum_a + cnt_a
+        cb1 = cum_b + cnt_b
+        end_distinct = ca1[:, None] + cb1[None, :] - c1
+        # in-chunk brackets: start_distinct + 1 <= rank <= end_distinct
+        # (both elements of an in-chunk match enter the pair's union inside
+        # this chunk), so lb needs end < s... no: qualify iff rank <= s;
+        # end_distinct <= s => rank <= s (safe lb); start_distinct >= s =>
+        # rank >= s + 1 (safe ub excluder).
+        lb = lb + m_in * (end_distinct <= s)
+        ub = ub + m_in * (start_distinct < s)
+
+        # open-run carry: membership vectors of this chunk's LAST value
+        tail = ((whi == whi[-1]) & (wlo == wlo[-1]) & valid)
+        tb = tail.astype(jnp.bfloat16)[:, None]
+        a_tail = jnp.sum((tb * oh_row).astype(jnp.float32), axis=0)
+        b_tail = jnp.sum((tb * oh_col).astype(jnp.float32), axis=0)
+        end_le = (end_distinct <= s).astype(jnp.float32)
+        return (c1, ca1, cb1, lb, ub,
+                a_tail, b_tail, whi[-1], wlo[-1], end_le), None
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    init = (zero_mat, zeros_a, zeros_b, zero_mat, zero_mat,
+            zeros_a, zeros_b, jnp.uint32(u64.INF_HI),
+            jnp.uint32(u64.INF_LO), jnp.zeros((ti, tj), jnp.float32))
+    (c_mat, _, _, lb, ub, *_), _ = jax.lax.scan(body, init, starts)
+    return {
+        "inter_full": c_mat.astype(jnp.int32),
+        "shared_lb": lb.astype(jnp.int32),
+        "shared_ub": ub.astype(jnp.int32),
+        "overflow": jnp.zeros((), jnp.bool_),
+    }
 
 
 @partial(jax.jit, static_argnames=("ti", "tj", "s", "chunk", "band"))
@@ -194,10 +333,10 @@ def _tile_counts_mxu(row_stream, col_stream, ti: int, tj: int, s: int,
     }
 
 
-@partial(jax.jit, static_argnames=("ti", "tj", "s", "chunk", "band"))
+@partial(jax.jit, static_argnames=("ti", "tj", "s", "chunk", "band", "mode"))
 def _mxu_exact_packed(row_stream, col_stream, rows: u64.Pair,
                       cols: u64.Pair, ti: int, tj: int, s: int,
-                      chunk: int, band: int):
+                      chunk: int, band: int, mode: str):
     """The full exact-path device computation as ONE dispatch returning ONE
     flat int32 array [4*ti*tj + ti + tj + 1]: (lb | ub | inter | union |
     n_a | n_b | overflow).  The tunneled platform charges a ~40 ms fixed
@@ -205,7 +344,12 @@ def _mxu_exact_packed(row_stream, col_stream, rows: u64.Pair,
     dict-of-arrays epilogue (eager jnp sums/broadcasts + 7 np.asarray
     pulls) measured 494k pairs/s at tile 512 where the raw MXU pass
     benches 818k — the gap was almost entirely those fixed costs."""
-    out = _tile_counts_mxu(row_stream, col_stream, ti, tj, s, chunk, band)
+    if mode == "full":
+        out = _tile_counts_mxu_full(row_stream, col_stream, ti, tj, s,
+                                    ti + tj)
+    else:
+        out = _tile_counts_mxu(row_stream, col_stream, ti, tj, s, chunk,
+                               band)
     n_a = jnp.sum((~u64.is_inf(rows)).astype(jnp.int32), axis=-1)
     n_b = jnp.sum((~u64.is_inf(cols)).astype(jnp.int32), axis=-1)
     union = jnp.minimum(n_a[:, None] + n_b[None, :] - out["inter_full"], s)
@@ -230,7 +374,7 @@ def tile_counts_mxu_exact(rows: u64.Pair, cols: u64.Pair, s: int, *,
     ti = rows[0].shape[0]
     tj = cols[0].shape[0]
     flat = np.asarray(_mxu_exact_packed(row_stream, col_stream, rows, cols,
-                                        ti, tj, s, chunk, band))
+                                        ti, tj, s, chunk, band, _mxu_mode()))
     if bool(flat[-1]):  # overflow
         # _intersect_impl() would return "mxu" here (that's how we were
         # reached); resolve to the backend's traceable kernel instead —
@@ -253,17 +397,42 @@ def tile_counts_mxu_exact(rows: u64.Pair, cols: u64.Pair, s: int, *,
     }
     amb_i, amb_j = np.nonzero(lb != ub)
     if amb_i.size:
+        # Batched lax.sort resolution: ONE dispatch for thousands of pairs.
+        # Measured on the real 10k-family tile (3243 ambiguous pairs,
+        # s=10k): 194 ms vs 3.9 s for 128-pair-chunked bitonic dispatches
+        # (the bitonic network builds [pairs, 32768]-wide stage temps —
+        # 4096 pairs measured 60 GB of HLO temps, HBM OOM — while one
+        # batched sort is a single [pairs, 2s] buffer).  RESOLVE_CHUNK
+        # bounds the sort buffer at ~1.3 GB.
+        RESOLVE_CHUNK = 8192
         k = amb_i.size
-        kp = max(8, 1 << (k - 1).bit_length())  # pow2 bucket bounds compiles
-        pi = np.pad(amb_i, (0, kp - k))
-        pj = np.pad(amb_j, (0, kp - k))
-        a = (rows[0][pi], rows[1][pi])
-        b = (cols[0][pj], cols[1][pj])
-        fixed = _resolve_pairs(_pad_pow2(a), _pad_pow2(b), s)
-        res["shared_in_x"][amb_i, amb_j] = np.asarray(fixed)[:k]
+        fixed_all = np.empty(k, np.int32)
+        for o in range(0, k, RESOLVE_CHUNK):
+            ci = amb_i[o:o + RESOLVE_CHUNK]
+            cj = amb_j[o:o + RESOLVE_CHUNK]
+            kc = ci.size
+            kp = max(8, 1 << (kc - 1).bit_length())  # pow2 bounds compiles
+            pi = np.pad(ci, (0, kp - kc))
+            pj = np.pad(cj, (0, kp - kc))
+            a = (rows[0][pi], rows[1][pi])
+            b = (cols[0][pj], cols[1][pj])
+            fixed_all[o:o + kc] = np.asarray(
+                _resolve_pairs_sorted(a, b, s))[:kc]
+        res["shared_in_x"][amb_i, amb_j] = fixed_all
     return res
 
 
 @partial(jax.jit, static_argnames=("s",))
-def _resolve_pairs(a: u64.Pair, b: u64.Pair, s: int):
-    return pair_counts_bitonic(a, b, s)["shared_in_x"]
+def _resolve_pairs_sorted(a: u64.Pair, b: u64.Pair, s: int):
+    """Exact shared_in_x for a batch of (a, b) sketch pairs via one batched
+    merge sort — bit-identical to pair_counts_merge per pair."""
+    h = jnp.concatenate([a[0], b[0]], axis=-1)
+    l = jnp.concatenate([a[1], b[1]], axis=-1)
+    h, l = jax.lax.sort((h, l), dimension=-1, num_keys=2)
+    valid = ~((h == u64.INF_HI) & (l == u64.INF_LO))
+    pos = jax.lax.broadcasted_iota(jnp.int32, h.shape, h.ndim - 1)
+    dup = ((h == jnp.roll(h, 1, -1)) & (l == jnp.roll(l, 1, -1))
+           & (pos > 0) & valid)
+    distinct = valid & ~dup
+    rank = jnp.cumsum(distinct.astype(jnp.int32), axis=-1)
+    return jnp.sum((dup & (rank <= s)).astype(jnp.int32), axis=-1)

@@ -111,20 +111,61 @@ def test_value_zero_ties():
 
 
 def test_band_overflow_detected_and_fallback():
-    """A value present in more sketches than the band spans must flag
-    overflow, and the exact wrapper must still return oracle counts."""
+    """Legacy band mode: a value present in more sketches than the band
+    spans must flag overflow, and the exact wrapper must still return
+    oracle counts.  Full mode (the default) handles the same input with no
+    overflow and exact counts."""
     s = 8
     shared = np.uint64(42)
     sk = [np.sort(np.array([shared, 100 + 13 * i, 200 + 7 * i], dtype=np.uint64))
           for i in range(6)]
     rows = stack_pair(sk[:3], s)
     cols = stack_pair(sk, s)  # value 42 occupies a 9-slot run > band+1
-    raw = mxu_intersect.tile_counts_mxu(rows, cols, s, chunk=16, band=2)
+    raw = mxu_intersect.tile_counts_mxu(rows, cols, s, chunk=16, band=2,
+                                        mode="band")
     assert bool(raw["overflow"])
     ref = reference_tile(rows, cols, s)
     exact = mxu_intersect.tile_counts_mxu_exact(rows, cols, s, chunk=16, band=2)
     for k in ref:
         np.testing.assert_array_equal(exact[k], ref[k], err_msg=k)
+    full = mxu_intersect.tile_counts_mxu(rows, cols, s, chunk=16)
+    assert not bool(full["overflow"])
+    np.testing.assert_array_equal(np.asarray(full["inter_full"]),
+                                  ref["inter_full"])
+
+
+def test_full_mode_long_runs_exact():
+    """Family-like data: values shared across MANY sketches (runs far past
+    any band) — the full-mode pass must bracket exactly with no overflow.
+    This is the production all-vs-all workload that overflowed every tile
+    of the r3 10k-genome run in band mode (runs up to 109 vs band 8)."""
+    rng = np.random.default_rng(7)
+    s = 24
+    core = rng.choice(1000, size=10, replace=False).astype(np.uint64)
+
+    def member():
+        mine = rng.choice(5000, size=30, replace=False).astype(np.uint64) + 2000
+        return np.unique(np.concatenate([core, mine]))[:s]
+
+    rows = stack_pair([member() for _ in range(9)], s)
+    cols = stack_pair([member() for _ in range(11)], s)  # core run length 20
+    for chunk in (20, 32, 64, 256):
+        lb, ub = check_tile(rows, cols, s, chunk=chunk)
+
+
+def test_full_mode_run_straddles_chunk_edge():
+    """Force the single-crossing-value correction: chunk == ti + tj and a
+    value placed so its run straddles the chunk boundary, with the s-cut
+    landing on and around the crossing value's rank."""
+    for s, extra in [(4, 0), (5, 1), (6, 2), (8, 4)]:
+        vals = np.arange(1, 40, dtype=np.uint64)
+        # every sketch holds values 1..3 plus distinct tails: runs of len 7
+        sk = [np.unique(np.concatenate([
+            vals[:3], np.uint64(10 + 5 * i) + vals[:3]]))[: s]
+            for i in range(7)]
+        rows = stack_pair(sk[:3], s)
+        cols = stack_pair(sk[3:], s)
+        check_tile(rows, cols, s, chunk=10)  # ti+tj = 10 == chunk
 
 
 def test_matches_tile_counts_production():
