@@ -818,7 +818,18 @@ def dist_resumable(
 # survivor chunks), so overflowing batches need no host round trip.
 
 
-SCREEN_CHUNK = 4096  # survivor hashes joined per while-loop step
+def _screen_chunk() -> int:
+    """Survivor hashes joined per while-loop step (MIEKKI_SCREEN_CHUNK).
+    At config-4 scale the survivor rate is ~33% (threshold = DB max; a
+    30 kb genome keeps s=10k of ~30k k-mers), i.e. ~1.4M survivors per
+    4.2M-base batch — at 4096/step that is ~340 while-loop iterations per
+    batch, the dominant screen cost.  Read per call so runs can tune it."""
+    import os as _os2
+
+    return int(_os2.environ.get("MIEKKI_SCREEN_CHUNK", str(SCREEN_CHUNK)))
+
+
+SCREEN_CHUNK = 4096  # default survivor hashes joined per while-loop step
 
 
 def _flatten_db(index: SketchIndex):
@@ -838,7 +849,7 @@ def _flatten_db(index: SketchIndex):
 
 
 def _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes,
-                        k: int, compact: bool = False):
+                        k: int, compact: bool = False, chunk: int = None):
     """One screening step over a packed read batch (trace-level body; the
     jitted entry is _screen_update; miekki_tpu.parallel.screen reuses this
     inside shard_map).
@@ -871,7 +882,7 @@ def _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes,
     key = jnp.where(keep, pos, n + pos)
     _, ph, pl = jax.lax.sort((key, h[0], h[1]), num_keys=1)
 
-    b = min(SCREEN_CHUNK, n)
+    b = min(chunk or SCREEN_CHUNK, n)
     # INF-pad to a multiple of b: dynamic_slice CLAMPS an out-of-range start,
     # which would desynchronize the slice from the `in_range` mask below and
     # silently drop trailing survivors whenever n % b != 0 (ADVICE r1, high).
@@ -904,11 +915,12 @@ def _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes,
     return acc, n_valid, n_keep
 
 
-@partial(jax.jit, static_argnames=("k", "compact"), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("k", "compact", "chunk"),
+         donate_argnums=(0,))
 def _screen_update(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes, k: int,
-                   compact: bool = False):
+                   compact: bool = False, chunk: int = None):
     return _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo,
-                               flat_codes, k, compact)
+                               flat_codes, k, compact, chunk)
 
 
 def _packed_read_batches_fast(path, k: int, flat: int) -> Iterator[np.ndarray]:
@@ -1146,7 +1158,7 @@ def screen(
         for batch in _prefetch(_packed_read_batches(path, k, flat)):
             acc, n_valid, n_keep = _screen_update(
                 acc, db_hi, db_lo, thr_hi, thr_lo, jnp.asarray(batch), k,
-                index.params.compact)
+                index.params.compact, _screen_chunk())
             counters.append((n_valid, n_keep))
     if stats is not None:
         tot_windows = sum(int(v) for v, _ in counters)
