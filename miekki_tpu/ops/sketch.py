@@ -371,10 +371,16 @@ def _sketch_chunked(chunks: jax.Array, k: int, s: int, group: int,
 # Steps per bottom-s merge in the group-merged tree path.  The r2 merge
 # ablation (TPU, 134 Mbase, k=31, s=10k) attributed ~0.37 ms/step — 57% of
 # step time — to the final sort-dedup merge vs ~0.075 ms for the tree
-# compaction; amortizing the merge over 8 steps roughly doubles sketch
+# compaction; amortizing the merge over a group roughly doubles sketch
 # throughput (VERDICT r1 item 1, re-diagnosed: the merge, not the hash op
-# mix, was the bound).
-MERGE_EVERY = 8
+# mix, was the bound).  r3 silicon sweep (tools/sketch_sweep.py, medians
+# of 5-7): cadence 2/4/6 all ≈1.06-1.09 Gbase/s vs 8 ≈0.97-1.02, then
+# monotonically worse (16: 0.91, 32: 0.69 — the per-group candidate concat
+# grows with the cadence); group 128 regresses at every cadence.  4 sits
+# mid-plateau.  A ~7% tweak, not a headline lever — the remaining gap to
+# the 2.83 Gbase/s bare-hash rate is the threshold+tree machinery itself
+# (every cheap reformulation costed and rejected in DESIGN.md).
+MERGE_EVERY = 4
 
 # Per-step-merged warmup steps before group merging starts.  Two steps
 # (~1 Mbase at the auto group size) pin the sketch threshold to the s-th
