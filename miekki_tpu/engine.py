@@ -829,7 +829,13 @@ def _screen_chunk() -> int:
     return int(_os2.environ.get("MIEKKI_SCREEN_CHUNK", str(SCREEN_CHUNK)))
 
 
-SCREEN_CHUNK = 4096  # default survivor hashes joined per while-loop step
+# Default survivor hashes joined per while-loop step.  r3 silicon sweep
+# (tools/screen_chunk_bench.py, 10M-value DB, 4.2M-base batches, ~56%
+# survivors, medians of 5): 4096 → 1.48 s/batch, 32768 → 1.15 s (best),
+# 262144 → 1.73 s, 1M → 2.63 s.  The join is bound by the searchsorted
+# binary-search gathers (~24/survivor, scalarized on TPU), not the loop
+# count — hence the shallow optimum.
+SCREEN_CHUNK = 32768
 
 
 def _flatten_db(index: SketchIndex):
@@ -848,8 +854,66 @@ def _flatten_db(index: SketchIndex):
     return flat[order], gid[order]
 
 
+def _screen_join() -> str:
+    """MIEKKI_SCREEN_JOIN=merge|searchsorted.  merge (default): the
+    gather-free sorted-merge join (_screen_join_merge) — one batched sort
+    of DB+hashes, a segmented OR, and a restore sort; searchsorted: the
+    binary-search join (24 scalarized gathers per survivor), kept for
+    comparison.  Resolved outside jit by callers (static arg)."""
+    import os as _os3
+
+    return _os3.environ.get("MIEKKI_SCREEN_JOIN", "merge").lower()
+
+
+def _screen_join_merge(acc, db_hi, db_lo, h):
+    """Gather/scatter-free membership join (r3): which DB values appear in
+    the hash batch `h`?
+
+    stream = sort(concat(db, hashes)) by (value, is_read) with the element
+    index riding along; within an equal-value run the DB copies sort first,
+    so a DB element is hit iff an is_read element follows it inside its
+    run — a right-to-left segmented OR (log-doubling rolls, no gathers).
+    DB-order flags are restored by a second sort on (is_read, index): DB
+    elements keep their relative (already value-sorted) order.  Replaces
+    the searchsorted join's ~24 scalarized binary-search gathers per
+    survivor and the scatter accumulate; measured costs: two ~14M sorts
+    185 + 134 ms + ~110 ms of segmented-OR passes vs 1,150 ms for the best
+    searchsorted configuration at the same shapes (tools/screen_join
+    probes, chip, medians of 5).  No threshold prefilter needed for
+    correctness (hashes above the DB max match nothing), so survivors are
+    counted only for the --metrics observability contract.
+    """
+    m_db = db_hi.shape[0]
+    n = h[0].shape[0]
+    total = m_db + n
+    sh = jnp.concatenate([db_hi, h[0]])
+    sl = jnp.concatenate([db_lo, h[1]])
+    is_read = jnp.concatenate([jnp.zeros(m_db, jnp.uint32),
+                               jnp.ones(n, jnp.uint32)])
+    pos = jnp.concatenate([
+        jax.lax.iota(jnp.int32, m_db),
+        jnp.full(n, m_db, jnp.int32),  # reads all restore to the sink
+    ])
+    sh, sl, is_read, pos = jax.lax.sort((sh, sl, is_read, pos), num_keys=3)
+    flag = is_read.astype(jnp.bool_)
+    eq = jnp.concatenate([(sh[1:] == sh[:-1]) & (sl[1:] == sl[:-1]),
+                          jnp.zeros(1, jnp.bool_)])  # eq[i]: i ~ i+1
+    d = 1
+    while d < total:
+        # flag[i] |= run-continues(i .. i+d) & flag[i+d]; the composed eq
+        # mask keeps roll wraparound from leaking across the array edge
+        flag = flag | (eq & jnp.roll(flag, -d))
+        eq = eq & jnp.roll(eq, -d)
+        d <<= 1
+    hit = (flag & (is_read == 0)).astype(jnp.uint32)
+    _, _, hitp = jax.lax.sort((is_read, pos, hit), num_keys=2)
+    db_hit = jnp.concatenate([hitp[:m_db] > 0, jnp.zeros(1, jnp.bool_)])
+    return acc | db_hit
+
+
 def _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes,
-                        k: int, compact: bool = False, chunk: int = None):
+                        k: int, compact: bool = False, chunk: int = None,
+                        join: str = "merge"):
     """One screening step over a packed read batch (trace-level body; the
     jitted entry is _screen_update; miekki_tpu.parallel.screen reuses this
     inside shard_map).
@@ -876,6 +940,8 @@ def _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes,
         h = (code, _compact_ops.lo_plane(code))
     keep = ~u64.less((thr_hi, thr_lo), h)  # h <= thr; INF never kept
     n_keep = jnp.sum(keep.astype(jnp.int32))
+    if join == "merge":
+        return _screen_join_merge(acc, db_hi, db_lo, h), n_valid, n_keep
     # Stable partition survivors to the front (sort by position-keyed int32;
     # native sort beats scalarized nonzero/gather compaction on TPU).
     pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
@@ -915,12 +981,13 @@ def _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes,
     return acc, n_valid, n_keep
 
 
-@partial(jax.jit, static_argnames=("k", "compact", "chunk"),
+@partial(jax.jit, static_argnames=("k", "compact", "chunk", "join"),
          donate_argnums=(0,))
 def _screen_update(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes, k: int,
-                   compact: bool = False, chunk: int = None):
+                   compact: bool = False, chunk: int = None,
+                   join: str = "merge"):
     return _screen_update_impl(acc, db_hi, db_lo, thr_hi, thr_lo,
-                               flat_codes, k, compact, chunk)
+                               flat_codes, k, compact, chunk, join)
 
 
 def _packed_read_batches_fast(path, k: int, flat: int) -> Iterator[np.ndarray]:
@@ -1158,7 +1225,7 @@ def screen(
         for batch in _prefetch(_packed_read_batches(path, k, flat)):
             acc, n_valid, n_keep = _screen_update(
                 acc, db_hi, db_lo, thr_hi, thr_lo, jnp.asarray(batch), k,
-                index.params.compact, _screen_chunk())
+                index.params.compact, _screen_chunk(), _screen_join())
             counters.append((n_valid, n_keep))
     if stats is not None:
         tot_windows = sum(int(v) for v, _ in counters)

@@ -27,6 +27,7 @@ from ..engine import (
     _flatten_db,
     _packed_read_batches,
     _screen_chunk,
+    _screen_join,
     _screen_rows,
     _screen_update_impl,
 )
@@ -41,29 +42,32 @@ except AttributeError:  # pragma: no cover
 
 
 def _screen_step_local(acc, db_hi, db_lo, thr_hi, thr_lo, batch, *, k: int,
-                       axis: str, compact: bool = False, chunk: int = None):
+                       axis: str, compact: bool = False, chunk: int = None,
+                       join: str = "merge"):
     """Per-device body: screen this device's batch shard, then OR-merge the
     bitmaps across the mesh axis.  batch: [1, F + k - 1] shard.  Also
     returns psum'd (n_windows, n_survivors) prefilter counters."""
     upd, n_valid, n_keep = _screen_update_impl(acc, db_hi, db_lo, thr_hi[0],
                                                thr_lo[0], batch[0], k,
-                                               compact, chunk)
+                                               compact, chunk, join)
     merged = lax.pmax(upd.astype(jnp.int32), axis) > 0
     return (merged, lax.psum(n_valid, axis)[None],
             lax.psum(n_keep, axis)[None])
 
 
-@partial(jax.jit, static_argnames=("k", "mesh", "axis", "compact", "chunk"),
+@partial(jax.jit, static_argnames=("k", "mesh", "axis", "compact", "chunk",
+                                   "join"),
          donate_argnums=(0,))
 def screen_step_sharded(acc, db_hi, db_lo, thr_hi, thr_lo, batches, *,
                         k: int, mesh: Mesh, axis: str = DATA_AXIS,
-                        compact: bool = False, chunk: int = None):
+                        compact: bool = False, chunk: int = None,
+                        join: str = "merge"):
     """One sharded screening step over a [D, F + k - 1] group of packed
     read batches.  acc: bool[M + 1] replicated; returns the updated acc."""
     rep = P(None)
     return shard_map(
         partial(_screen_step_local, k=k, axis=axis, compact=compact,
-                chunk=chunk),
+                chunk=chunk, join=join),
         mesh=mesh,
         in_specs=(rep, rep, rep, rep, rep, P(axis, None)),
         out_specs=(rep, rep, rep),
@@ -91,24 +95,25 @@ def _batch_groups(path, k: int, flat: int, group: int) -> Iterator[np.ndarray]:
 
 def _screen_step_local_dbshard(acc, db_hi, db_lo, thr_hi, thr_lo, batch, *,
                                k: int, axis: str, compact: bool = False,
-                               chunk: int = None):
+                               chunk: int = None, join: str = "merge"):
     """Per-device body with a DB shard: [1, Ms+1] acc, [1, Ms] db planes,
     [1, F + k - 1] batch shard.  Survivors whose value lives in another
     shard simply find no match here; merging over the data axis only."""
     upd, n_valid, n_keep = _screen_update_impl(acc[0], db_hi[0], db_lo[0],
                                                thr_hi[0], thr_lo[0],
-                                               batch[0], k, compact, chunk)
+                                               batch[0], k, compact, chunk,
+                                               join)
     return ((lax.pmax(upd.astype(jnp.int32), axis) > 0)[None],
             lax.psum(n_valid, axis)[None], lax.psum(n_keep, axis)[None])
 
 
 @partial(jax.jit, static_argnames=("k", "mesh", "data_axis", "db_axis",
-                                   "compact", "chunk"),
+                                   "compact", "chunk", "join"),
          donate_argnums=(0,))
 def screen_step_db_sharded(acc, db_hi, db_lo, thr_hi, thr_lo, batches, *,
                            k: int, mesh: Mesh, data_axis: str = DATA_AXIS,
                            db_axis: str = "db", compact: bool = False,
-                           chunk: int = None):
+                           chunk: int = None, join: str = "merge"):
     """One screening step with BOTH axes sharded: the flat DB split into
     [D_db, Ms] shards (each value-sorted) and read batches [D_data, F+k-1]
     data-parallel.  Device (a, b) screens batch a against DB shard b; hit
@@ -117,7 +122,7 @@ def screen_step_db_sharded(acc, db_hi, db_lo, thr_hi, thr_lo, batches, *,
     rep = P(None)
     return shard_map(
         partial(_screen_step_local_dbshard, k=k, axis=data_axis,
-                compact=compact, chunk=chunk),
+                compact=compact, chunk=chunk, join=join),
         mesh=mesh,
         in_specs=(P(db_axis, None), P(db_axis, None), P(db_axis, None),
                   rep, rep, P(data_axis, None)),
@@ -162,7 +167,7 @@ def screen_sharded(
         acc, nv, nk = screen_step_sharded(
             acc, db_hi, db_lo, thr_hi, thr_lo, jnp.asarray(group),
             k=k, mesh=mesh, axis=axis, compact=index.params.compact,
-            chunk=_screen_chunk(),
+            chunk=_screen_chunk(), join=_screen_join(),
         )
         counters.append((nv, nk))
     _fill_stats(stats, counters)
@@ -219,6 +224,7 @@ def _screen_sharded_2d(index, reads_path, mesh, data_axis, db_axis, flat,
             acc, db_hi, db_lo, thr_hi, thr_lo, jnp.asarray(group),
             k=k, mesh=mesh, data_axis=data_axis, db_axis=db_axis,
             compact=index.params.compact, chunk=_screen_chunk(),
+            join=_screen_join(),
         )
         counters.append((nv, nk))
     _fill_stats(stats, counters)

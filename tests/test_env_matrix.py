@@ -36,3 +36,31 @@ def test_env_matrix_bitwise_identical(monkeypatch, genomes_paths,
     idx = engine.build_index(genomes_paths, SketchParams(k=21, s=256))
     got = engine.rows_to_tsv(engine.dist(idx))
     assert got == reference_tsv, (merge, hash_impl)
+
+
+@pytest.mark.parametrize("join", ["merge", "searchsorted"])
+@pytest.mark.parametrize("chunk", ["4096", "999"])
+def test_screen_join_matrix_identical(monkeypatch, genomes_paths, tmp_path,
+                                      join, chunk):
+    """The screen join impl / chunk knobs must never change results — the
+    r3 gather-free sorted-merge join vs the searchsorted join, at awkward
+    chunk sizes (non-pow2, smaller than the survivor count)."""
+    from fixtures import reads_from_genome, write_fastq
+
+    rng = np.random.default_rng(17)
+    idx = engine.build_index(genomes_paths, SketchParams(k=21, s=256))
+    import miekki_tpu.io.reader as _r
+
+    g1 = b"".join(s for _, s in _r.read_records(str(genomes_paths[1])))
+    reads = reads_from_genome(rng, g1, 60, 80)
+    rp = str(write_fastq(tmp_path / f"r_{join}_{chunk}.fq",
+                         [(f"r{i}", r) for i, r in enumerate(reads)]))
+    monkeypatch.setenv("MIEKKI_SCREEN_JOIN", join)
+    monkeypatch.setenv("MIEKKI_SCREEN_CHUNK", chunk)
+    stats = {}
+    got = engine.screen(idx, rp, flat=2048, stats=stats)
+    monkeypatch.delenv("MIEKKI_SCREEN_JOIN")
+    monkeypatch.delenv("MIEKKI_SCREEN_CHUNK")
+    want = engine.screen(idx, rp, flat=2048)
+    assert got == want, (join, chunk)
+    assert stats["n_survivors"] > 0  # metrics contract holds on both joins

@@ -71,35 +71,38 @@ def main() -> int:
 
     results = {}
     base_acc = None
-    for chunk in (int(x) for x in args.chunks.split(",")):
+    points = [("searchsorted", int(x)) for x in args.chunks.split(",")]
+    points.insert(0, ("merge", 0))
+    for join, chunk in points:
         acc0 = jnp.zeros(m + 1, dtype=jnp.bool_)
         t0 = time.perf_counter()
         acc, nv, nk = E._screen_update(acc0, db_hi, db_lo, thr_hi, thr_lo,
-                                       batch, k, False, chunk)
+                                       batch, k, False, chunk or None, join)
         got = np.asarray(acc)
-        print(f"chunk={chunk}: compile+first {time.perf_counter()-t0:.1f}s "
+        tag = join if join == "merge" else f"{join}-{chunk}"
+        print(f"{tag}: compile+first {time.perf_counter()-t0:.1f}s "
               f"windows={int(nv)} survivors={int(nk)} hits={int(got.sum())}",
               flush=True)
         if base_acc is None:
             base_acc = got
         else:
-            assert np.array_equal(base_acc, got), f"MISMATCH at chunk={chunk}"
+            assert np.array_equal(base_acc, got), f"MISMATCH at {tag}"
         times = []
         for _ in range(args.reps):
             acc0 = jnp.zeros(m + 1, dtype=jnp.bool_)
             t0 = time.perf_counter()
             out = E._screen_update(acc0, db_hi, db_lo, thr_hi, thr_lo,
-                                   batch, k, False, chunk)
+                                   batch, k, False, chunk or None, join)
             np.asarray(out[0][:8])
             _ = np.asarray(out[0])
             times.append(time.perf_counter() - t0)
         times.sort()
         med = times[len(times) // 2]
-        results[str(chunk)] = {
+        results[tag] = {
             "median_s": round(med, 4),
             "mbase_per_s": round(flat / med / 1e6, 1),
             "times": [round(t, 4) for t in times]}
-        print(f"chunk={chunk}: median {med*1e3:.0f} ms = "
+        print(f"{tag}: median {med*1e3:.0f} ms = "
               f"{flat/med/1e6:.1f} Mbase/s  {[round(t,3) for t in times]}",
               flush=True)
     print(json.dumps(results), flush=True)
