@@ -287,24 +287,30 @@ def dist_tiles(
     compact = index_a.params.compact  # single-plane codes: upload hi only,
     # compare via the 32-bit kernels (half the merge ops and VMEM)
 
-    # Column blocks (and, for mxu, their sorted streams) are re-visited by
-    # every row block; cache them on device up to a byte budget so each is
-    # uploaded/sorted once instead of nb_a times (the tunnel re-uploads at
-    # ~0.4 GB/s and the mxu stream sort is a 5M-element device sort).
-    # FIFO eviction; self-compare's upper-triangle sweep revisits a sliding
-    # bj window, so even a partial cache gets most of the reuse.
+    # Blocks (and, for mxu, their sorted streams) are re-visited by every
+    # row/column sweep; cache them on device up to a byte budget so each is
+    # uploaded/sorted ONCE instead of per visit (the tunnel re-uploads at
+    # ~0.4 GB/s and the mxu stream sort is a 5M-element device sort —
+    # measured: duplicate block uploads were the sustained-path wall, 1.2-3 s
+    # stalls per fresh block at tile 512 x s=10k).  One unified cache serves
+    # both roles: in self-comparison row block b IS column block b (same
+    # planes, same base stream), and even rectangular jobs share the u64
+    # planes per side.  The column-role mxu stream is derived from the
+    # row-role one by a single elementwise payload OR (see
+    # mxu_intersect.stream_with_col_tag) — the sort permutation is
+    # key-only, so no second sort.  FIFO eviction; the upper-triangle sweep
+    # revisits a sliding window, so a partial cache still gets most reuse.
     import os as _os
 
     # mxu operates on (plane, plane) pairs even for compact indexes (the
-    # lo plane is derived on device); its sorted streams are cached per
-    # column block alongside the planes so every block is uploaded and
-    # sorted once, not once per row block.
+    # lo plane is derived on device).
     mxu = impl == "mxu"
     plane_bytes = (8 if mxu else 4) if compact else 8
-    bytes_per_block = tile * s * ((12 + plane_bytes) if mxu else plane_bytes)
-    cache_mb = int(_os.environ.get("MIEKKI_COL_CACHE_MB", "2048"))
-    cache_cap = max(1, (cache_mb << 20) // max(1, bytes_per_block))
-    col_cache: dict = {}
+    # worst case per cached block: planes + row stream + derived col stream
+    bytes_per_block = tile * s * ((12 * 2 + plane_bytes) if mxu else plane_bytes)
+    cache_mb = int(_os.environ.get("MIEKKI_COL_CACHE_MB", "6144"))
+    cache_cap = max(2, (cache_mb << 20) // max(1, bytes_per_block))
+    blk_cache: dict = {}
 
     def load_block(table_hi, table_lo, b: int):
         """Device planes for block b: pair for the u64/mxu paths, a single
@@ -318,62 +324,106 @@ def dist_tiles(
             return (hi, _compact_ops.lo_plane(hi))
         return hi, jnp.asarray(table_lo[b * tile : (b + 1) * tile])
 
+    def block(side: str, b: int):
+        """Cached (planes, row_stream, col_stream) for block b of side
+        'a'/'b' (sides collapse for self-comparison).  Streams are lazy
+        per role and None for non-mxu impls."""
+        key = ("a" if self_compare else side, b)
+        ent = blk_cache.pop(key, None)
+        if ent is None:
+            table_hi, table_lo = (a_hi, a_lo) if side == "a" else (b_hi, b_lo)
+            ent = [load_block(table_hi, table_lo, b), None, None]
+        while len(blk_cache) >= cache_cap:
+            blk_cache.pop(next(iter(blk_cache)))
+        blk_cache[key] = ent  # re-insert = LRU-ish touch
+        return ent
+
+    def row_block(bi: int):
+        ent = block("a", bi)
+        if mxu and ent[1] is None:
+            from .ops import mxu_intersect as _mxu
+
+            ent[1] = _mxu.sketch_stream(ent[0], False)
+        return ent[0], ent[1]
+
     def col_block(bj: int):
-        if bj in col_cache:
-            return col_cache[bj]
-        cols = load_block(b_hi, b_lo, bj)
-        stream = None
+        ent = block("b", bj)
+        if mxu and ent[2] is None:
+            from .ops import mxu_intersect as _mxu
+
+            if ent[1] is None:
+                ent[1] = _mxu.sketch_stream(ent[0], False)
+            ent[2] = _mxu.stream_with_col_tag(ent[1])
+        return ent[0], ent[2]
+
+    # Tiles in flight beyond the one being finished.  JAX dispatch is
+    # asynchronous: enqueueing tile t+1's pass (and its block upload/sort)
+    # BEFORE pulling tile t's counts lets the device compute while the
+    # host pays the tunnel transfer + ambiguity epilogue — the synchronous
+    # loop serialized all three (measured: 52.4M pairs sustained 360k/s vs
+    # 818k/s for the bare dispatch at tile 512).  Depth 1 = classic double
+    # buffering; 0 restores the synchronous order.
+    depth = int(_os.environ.get("MIEKKI_PIPELINE", "1"))
+
+    def dispatch(bi: int, bj: int):
+        rows, row_stream = row_block(bi)
+        cols, col_stream = col_block(bj)
         if mxu:
             from .ops import mxu_intersect as _mxu
 
-            stream = _mxu.sketch_stream(cols, True)
-        while len(col_cache) >= cache_cap:
-            col_cache.pop(next(iter(col_cache)))
-        col_cache[bj] = (cols, stream)
-        return cols, stream
+            return _mxu.tile_counts_mxu_start(
+                rows, cols, s, row_stream=row_stream, col_stream=col_stream)
+        if compact:
+            counts = _intersect.tile_counts_compact(rows, cols, s, impl)
+        else:
+            counts = _intersect.tile_counts(rows, cols, s, impl)
+        if isinstance(counts["shared_in_x"], np.ndarray):
+            return counts
+        # Pack to ONE device array now (still async); the pull happens at
+        # finish time.  The tunnel charges a fixed ~40 ms per transfer, so
+        # one packed pull replaces three.
+        return _pack_counts(counts["shared_in_x"], counts["union_size"],
+                            counts["inter_full"])
 
+    def finish(bi: int, bj: int, handle):
+        if mxu:
+            from .ops import mxu_intersect as _mxu
+
+            counts = _mxu.tile_counts_mxu_finish(handle)
+            shared = counts["shared_in_x"].ravel()
+            union = counts["union_size"].ravel()
+            inter = counts["inter_full"].ravel()
+        elif isinstance(handle, dict):
+            shared = handle["shared_in_x"].ravel()
+            union = handle["union_size"].ravel()
+            inter = handle["inter_full"].ravel()
+        else:
+            packed = np.asarray(handle)
+            shared, union, inter = (packed[0].ravel(), packed[1].ravel(),
+                                    packed[2].ravel())
+        gi = bi * tile + ti_flat
+        gj = bj * tile + tj_flat
+        mask = (gi < n_a) & (gj < n_b)
+        if self_compare:
+            mask &= gj > gi
+        sel = np.flatnonzero(mask)
+        return (bi, bj, gi[sel], gj[sel],
+                shared[sel], union[sel], inter[sel])
+
+    from collections import deque
+
+    pending: deque = deque()
     for bi in range(nb_a):
-        rows = load_block(a_hi, a_lo, bi)
-        row_stream = None  # mxu: sort the row block once per bi, reuse nb_b×
         for bj in range(nb_b):
             if self_compare and bj < bi:
                 continue
             if skip_tiles and (bi, bj) in skip_tiles:
                 continue
-            cols, col_stream = col_block(bj)
-            if mxu:
-                from .ops import mxu_intersect as _mxu
-
-                if row_stream is None:
-                    row_stream = _mxu.sketch_stream(rows, False)
-                counts = _mxu.tile_counts_mxu_exact(
-                    rows, cols, s, row_stream=row_stream,
-                    col_stream=col_stream)
-            elif compact:
-                counts = _intersect.tile_counts_compact(rows, cols, s, impl)
-            else:
-                counts = _intersect.tile_counts(rows, cols, s, impl)
-            if isinstance(counts["shared_in_x"], np.ndarray):
-                shared = counts["shared_in_x"].ravel()
-                union = counts["union_size"].ravel()
-                inter = counts["inter_full"].ravel()
-            else:
-                # ONE device->host pull instead of three: the tunnel charges
-                # a fixed ~40 ms per transfer, which at tile granularity is
-                # a material fraction of the per-tile budget.
-                packed = np.asarray(_pack_counts(
-                    counts["shared_in_x"], counts["union_size"],
-                    counts["inter_full"]))
-                shared, union, inter = (packed[0].ravel(), packed[1].ravel(),
-                                        packed[2].ravel())
-            gi = bi * tile + ti_flat
-            gj = bj * tile + tj_flat
-            mask = (gi < n_a) & (gj < n_b)
-            if self_compare:
-                mask &= gj > gi
-            sel = np.flatnonzero(mask)
-            yield (bi, bj, gi[sel], gj[sel],
-                   shared[sel], union[sel], inter[sel])
+            pending.append((bi, bj, dispatch(bi, bj)))
+            while len(pending) > depth:
+                yield finish(*pending.popleft())
+    while pending:
+        yield finish(*pending.popleft())
 
 
 def dist_iter(

@@ -77,6 +77,19 @@ def sketch_stream(p: u64.Pair, is_col: bool):
     return hi, lo, pay
 
 
+@jax.jit
+def stream_with_col_tag(stream):
+    """Derive the column-role stream from a row-role `sketch_stream`
+    result.  The two roles differ only by the COL_TAG payload bit, and
+    the payload is NOT a sort key (u64.sort compares num_keys=2 planes
+    only), so the sort permutation is identical for both roles — one
+    elementwise OR replaces a second multi-million-element sort per
+    block.  Bitwise-equal to sketch_stream(p, True) by construction
+    (tested in tests/test_mxu_intersect.py)."""
+    hi, lo, pay = stream
+    return hi, lo, pay | _COL_TAG
+
+
 def _mxu_mode() -> str:
     """MIEKKI_MXU_MODE=full|band.  full (default): the exact equality-
     matrix pass (`_tile_counts_mxu_full`) — correct for ANY value-run
@@ -360,6 +373,28 @@ def _mxu_exact_packed(row_stream, col_stream, rows: u64.Pair,
     ])
 
 
+def tile_counts_mxu_start(rows: u64.Pair, cols: u64.Pair, s: int, *,
+                          chunk: int = DEFAULT_CHUNK, band: int = DEFAULT_BAND,
+                          row_stream=None, col_stream=None):
+    """Dispatch the MXU pass for a tile WITHOUT waiting for it.
+
+    Returns an opaque pending handle for `tile_counts_mxu_finish`.  JAX
+    dispatch is asynchronous, so the caller can enqueue the next tile's
+    pass (and its block uploads/sorts) while this one executes — the
+    pipelining lever behind engine.dist_tiles' sustained throughput (the
+    synchronous loop paid dispatch + ~40 ms tunnel pull + ambiguity
+    resolution in series with an idle device)."""
+    if row_stream is None:
+        row_stream = sketch_stream(rows, False)
+    if col_stream is None:
+        col_stream = sketch_stream(cols, True)
+    ti = rows[0].shape[0]
+    tj = cols[0].shape[0]
+    flat_dev = _mxu_exact_packed(row_stream, col_stream, rows, cols,
+                                 ti, tj, s, chunk, band, _mxu_mode())
+    return (flat_dev, rows, cols, s)
+
+
 def tile_counts_mxu_exact(rows: u64.Pair, cols: u64.Pair, s: int, *,
                           chunk: int = DEFAULT_CHUNK, band: int = DEFAULT_BAND,
                           row_stream=None, col_stream=None):
@@ -367,14 +402,19 @@ def tile_counts_mxu_exact(rows: u64.Pair, cols: u64.Pair, s: int, *,
     bitwise-proven bitonic pair kernel for ambiguous pairs (lb != ub) or
     for the whole tile on band overflow.  Returns the same dict of int32
     [Ti, Tj] arrays as intersect.tile_counts (host-synchronized)."""
-    if row_stream is None:
-        row_stream = sketch_stream(rows, False)
-    if col_stream is None:
-        col_stream = sketch_stream(cols, True)
+    return tile_counts_mxu_finish(tile_counts_mxu_start(
+        rows, cols, s, chunk=chunk, band=band,
+        row_stream=row_stream, col_stream=col_stream))
+
+
+def tile_counts_mxu_finish(pending):
+    """Synchronize a `tile_counts_mxu_start` handle and run the host
+    epilogue (overflow fallback, ambiguity resolution).  Bitwise-identical
+    to the fused `tile_counts_mxu_exact` call by construction."""
+    flat_dev, rows, cols, s = pending
     ti = rows[0].shape[0]
     tj = cols[0].shape[0]
-    flat = np.asarray(_mxu_exact_packed(row_stream, col_stream, rows, cols,
-                                        ti, tj, s, chunk, band, _mxu_mode()))
+    flat = np.asarray(flat_dev)
     if bool(flat[-1]):  # overflow
         # _intersect_impl() would return "mxu" here (that's how we were
         # reached); resolve to the backend's traceable kernel instead —

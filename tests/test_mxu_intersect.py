@@ -224,3 +224,23 @@ def test_env_dispatch_and_engine_dist_parity(monkeypatch, tmp_path):
     assert len(default) == len(got) > 0
     for d, g in zip(default, got):
         assert d == g
+
+
+def test_stream_with_col_tag_matches_col_sort():
+    """The derived column stream (payload OR) must be bitwise-identical to
+    an independent sketch_stream(is_col=True) sort, including with heavy
+    value ties across sketches (ties exercise the key-only-permutation
+    argument: the payload is not a sort key, so both roles sort the block
+    identically)."""
+    rng = np.random.default_rng(11)
+    s = 64
+    # many duplicated values across the 9 sketches -> lots of key ties
+    pool = np.unique(rng.integers(0, 200, size=400, dtype=np.uint64))
+    sketches = [np.sort(rng.choice(pool, size=s, replace=False))
+                for _ in range(9)]
+    rows = stack_pair(sketches, s)
+    base = mxu_intersect.sketch_stream(rows, False)
+    derived = mxu_intersect.stream_with_col_tag(base)
+    direct = mxu_intersect.sketch_stream(rows, True)
+    for d, x in zip(derived, direct):
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(x))
