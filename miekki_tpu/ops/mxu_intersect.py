@@ -58,6 +58,9 @@ from . import u64
 DEFAULT_CHUNK = 2048
 DEFAULT_BAND = 8
 _COL_TAG = np.uint32(1 << 16)  # payload bit marking column-side elements
+_PAY_SENTINEL = np.uint32(0xFFFFFFFF)  # payload for INF/pad elements: no
+# sketch iota (ids < 2^16, | COL_TAG < 2^17) ever equals it, so one-hot
+# masks drop such elements without explicit validity logic
 
 
 @partial(jax.jit, static_argnames=("is_col",))
@@ -180,7 +183,21 @@ def _tile_counts_mxu_full(row_stream, col_stream, ti: int, tj: int, s: int,
     pad = n_chunks * chunk - n
     hi = jnp.pad(hi, (0, pad), constant_values=u64.INF_HI)
     lo = jnp.pad(lo, (0, pad), constant_values=u64.INF_LO)
-    pay = jnp.pad(pay, (0, pad))
+    # Sentinel payload for INF elements (sketch INF-padding AND chunk
+    # padding): no iota ever equals it, so the one-hot masks exclude them
+    # with no per-chunk validity logic at all.
+    pay = jnp.pad(pay, (0, pad), constant_values=_PAY_SENTINEL)
+    pay = jnp.where((hi == u64.INF_HI) & (lo == u64.INF_LO),
+                    _PAY_SENTINEL, pay)
+    # Global run ids (ONE cumsum over the stream) replace the per-chunk
+    # two-plane value compares: within/across-chunk equality is a single
+    # int32 compare on rid, and the boundary head test needs no carried
+    # (hi, lo) value.  Measured on the family tile 512×512 at s=10k:
+    # 431 → 369 ms (~15%), bitwise-identical outputs.
+    newrun = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        ((hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])).astype(jnp.int32)])
+    rid = jnp.cumsum(newrun, dtype=jnp.int32)
 
     iota_i = jnp.arange(ti, dtype=jnp.uint32)
     iota_j = jnp.arange(tj, dtype=jnp.uint32) | _COL_TAG
@@ -190,18 +207,14 @@ def _tile_counts_mxu_full(row_stream, col_stream, ti: int, tj: int, s: int,
 
     def body(carry, start):
         (c_mat, cum_a, cum_b, lb, ub,
-         a_carry, b_carry, vh_carry, vl_carry, prev_end_le) = carry
-        whi = jax.lax.dynamic_slice(hi, (start,), (chunk,))
-        wlo = jax.lax.dynamic_slice(lo, (start,), (chunk,))
+         a_carry, b_carry, rid_carry, prev_end_le) = carry
+        wrid = jax.lax.dynamic_slice(rid, (start,), (chunk,))
         wpay = jax.lax.dynamic_slice(pay, (start,), (chunk,))
-        valid = ~((whi == u64.INF_HI) & (wlo == u64.INF_LO))
-        oh_row = ((wpay[:, None] == iota_i[None, :])
-                  & valid[:, None]).astype(jnp.bfloat16)
-        oh_col = ((wpay[:, None] == iota_j[None, :])
-                  & valid[:, None]).astype(jnp.bfloat16)
+        oh_row = (wpay[:, None] == iota_i[None, :]).astype(jnp.bfloat16)
+        oh_col = (wpay[:, None] == iota_j[None, :]).astype(jnp.bfloat16)
 
         # boundary correction: continuation of the carried open run
-        head = ((whi == vh_carry) & (wlo == vl_carry) & valid)
+        head = (wrid == rid_carry)
         hb = head.astype(jnp.bfloat16)[:, None]
         a_head = jnp.sum((hb * oh_row).astype(jnp.float32), axis=0)
         b_head = jnp.sum((hb * oh_col).astype(jnp.float32), axis=0)
@@ -214,10 +227,11 @@ def _tile_counts_mxu_full(row_stream, col_stream, ti: int, tj: int, s: int,
         lb = lb + corr * prev_end_le
         ub = ub + corr * prev_end_le
 
-        # within-chunk matches via the equality matrix on the MXU
-        eq = ((whi[:, None] == whi[None, :])
-              & (wlo[:, None] == wlo[None, :])
-              & valid[:, None] & valid[None, :]).astype(jnp.bfloat16)
+        # within-chunk matches via the equality matrix on the MXU.  INF
+        # elements share a rid and so match each other here, but their
+        # sentinel payload zeroes both one-hot operands, so they
+        # contribute nothing.
+        eq = (wrid[:, None] == wrid[None, :]).astype(jnp.bfloat16)
         m1 = jnp.dot(oh_row.T, eq,
                      preferred_element_type=jnp.float32)  # {0,1}
         m_in = jnp.dot(m1.astype(jnp.bfloat16), oh_col,
@@ -239,18 +253,18 @@ def _tile_counts_mxu_full(row_stream, col_stream, ti: int, tj: int, s: int,
         ub = ub + m_in * (start_distinct < s)
 
         # open-run carry: membership vectors of this chunk's LAST value
-        tail = ((whi == whi[-1]) & (wlo == wlo[-1]) & valid)
+        tail = (wrid == wrid[-1])
         tb = tail.astype(jnp.bfloat16)[:, None]
         a_tail = jnp.sum((tb * oh_row).astype(jnp.float32), axis=0)
         b_tail = jnp.sum((tb * oh_col).astype(jnp.float32), axis=0)
         end_le = (end_distinct <= s).astype(jnp.float32)
         return (c1, ca1, cb1, lb, ub,
-                a_tail, b_tail, whi[-1], wlo[-1], end_le), None
+                a_tail, b_tail, wrid[-1], end_le), None
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     init = (zero_mat, zeros_a, zeros_b, zero_mat, zero_mat,
-            zeros_a, zeros_b, jnp.uint32(u64.INF_HI),
-            jnp.uint32(u64.INF_LO), jnp.zeros((ti, tj), jnp.float32))
+            zeros_a, zeros_b, jnp.int32(-2 ** 30),
+            jnp.zeros((ti, tj), jnp.float32))
     (c_mat, _, _, lb, ub, *_), _ = jax.lax.scan(body, init, starts)
     return {
         "inter_full": c_mat.astype(jnp.int32),
