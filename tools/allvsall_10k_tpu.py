@@ -96,63 +96,44 @@ def main() -> int:
               f"({report['sketch_gbase_per_s']} Gbase/s wall)", flush=True)
         idx.save(db_path)
 
-    hi = jnp.asarray(idx.hi)
-    lo = jnp.asarray(idx.lo)
     T = args.tile
     nt = -(-n // T)
     impl = args.impl or I._intersect_impl(T)
     report["intersect_impl"] = impl
-    print(f"[10k] intersect impl: {impl} (tile {T})", flush=True)
-    mxu = impl == "mxu"
-    if mxu:
-        from miekki_tpu.ops import mxu_intersect as MX
+    report["pipeline"] = os.environ.get("MIEKKI_PIPELINE", "1")
+    print(f"[10k] intersect impl: {impl} (tile {T}, pipeline "
+          f"{report['pipeline']})", flush=True)
+    if args.impl:
+        os.environ["MIEKKI_INTERSECT"] = args.impl
 
-        # Whole DB + both stream roles fit HBM at this scale (~3.3 GB of
-        # 16): sort each block's stream ONCE per role, reuse across the
-        # nt tiles it appears in (the engine.dist_tiles caching pattern).
-        row_streams, col_streams = [], []
-        for b in range(nt):
-            r0, r1 = b * T, min((b + 1) * T, n)
-            blk = (hi[r0:r1], lo[r0:r1])
-            row_streams.append(MX.sketch_stream(blk, False))
-            col_streams.append(MX.sketch_stream(blk, True))
-        np.asarray(col_streams[-1][0][:8])  # force
-
-    @jax.jit
-    def pack3(a, b, c):
-        return jnp.stack([a, b, c])
-
+    # The production path: engine.dist_tiles pipelines tile t+1's dispatch
+    # ahead of tile t's pull and shares one budget-capped device cache
+    # across both block roles (planes uploaded once, mxu streams sorted
+    # once and column-tagged by a payload OR) — the same loop the CLI's
+    # dist/--counts surfaces run.
     t0 = time.time()
     shared = np.zeros((n, n), np.int32)
     union = np.zeros((n, n), np.int32)
     inter = np.zeros((n, n), np.int32)
     done = 0
-    for bi in range(nt):
-        r0, r1 = bi * T, min((bi + 1) * T, n)
-        for bj in range(bi, nt):
-            c0, c1 = bj * T, min((bj + 1) * T, n)
-            if mxu:
-                out = MX.tile_counts_mxu_exact(
-                    (hi[r0:r1], lo[r0:r1]), (hi[c0:c1], lo[c0:c1]), args.s,
-                    row_stream=row_streams[bi], col_stream=col_streams[bj])
-                shared[r0:r1, c0:c1] = out["shared_in_x"]
-                union[r0:r1, c0:c1] = out["union_size"]
-                inter[r0:r1, c0:c1] = out["inter_full"]
-            else:
-                out = I.tile_counts((hi[r0:r1], lo[r0:r1]),
-                                    (hi[c0:c1], lo[c0:c1]), args.s, impl)
-                packed = np.asarray(pack3(out["shared_in_x"],
-                                          out["union_size"],
-                                          out["inter_full"]))
-                shared[r0:r1, c0:c1] = packed[0]
-                union[r0:r1, c0:c1] = packed[1]
-                inter[r0:r1, c0:c1] = packed[2]
-            done += 1
-        if bi % 8 == 0:
-            el = time.time() - t0
-            total = nt * (nt + 1) // 2
+    total = nt * (nt + 1) // 2
+    last_bi = -1
+    for bi, bj, gi, gj, sh, un, it in engine.dist_tiles(idx, tile=T):
+        shared[gi, gj] = sh
+        union[gi, gj] = un
+        inter[gi, gj] = it
+        done += 1
+        if bi != last_bi and bi % 4 == 0:
+            last_bi = bi
             print(f"[10k] row block {bi}/{nt} ({done}/{total} tiles, "
-                  f"{el:.0f}s elapsed)", flush=True)
+                  f"{time.time()-t0:.0f}s elapsed)", flush=True)
+    # dist_tiles yields the strict upper triangle; restore the diagonal
+    # (self-comparison: shared == union == inter == genome sketch size,
+    # capped at s for shared/union by definition) for the invariants below.
+    sizes_np = np.minimum(idx.sizes(), args.s).astype(np.int32)
+    np.fill_diagonal(shared, sizes_np)
+    np.fill_diagonal(union, sizes_np)
+    np.fill_diagonal(inter, idx.sizes().astype(np.int32))
     dt = time.time() - t0
     pairs = n * (n + 1) // 2
     report["compare_seconds"] = round(dt, 1)
