@@ -42,6 +42,33 @@ def _time(fn, *args, warmup: int = 2, iters: int = 7) -> float:
     return times[len(times) // 2]
 
 
+def _time_pipelined(fn, inputs, warmup: int = 2, iters: int = 8,
+                    trials: int = 3) -> float:
+    """Sustained per-call wall time with depth-1 dispatch pipelining —
+    dispatch call t+1 before host-pulling call t, exactly how the
+    production paths run (engine.build_index batches, engine.dist_tiles
+    tiles both pipeline with MIEKKI_PIPELINE=1).  Every output is still
+    host-forced via _sync (nothing can be skipped); `inputs` must hold >=2
+    distinct arrays, alternated so XLA cannot hoist or reuse anything
+    across iterations.  Returns the median over `trials` of total/iters."""
+    for _ in range(warmup):
+        _sync(fn(inputs[0]))
+        _sync(fn(inputs[-1]))
+    rates = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        handles = []
+        for i in range(iters):
+            handles.append(fn(inputs[i % len(inputs)]))
+            if len(handles) > 1:
+                _sync(handles.pop(0))
+        while handles:
+            _sync(handles.pop(0))
+        rates.append((time.perf_counter() - t0) / iters)
+    rates.sort()
+    return rates[len(rates) // 2]
+
+
 def bench_sketch(k: int = 31, s: int = 10_000, chunk: int = 1 << 13,
                  n_chunks: int = 16384) -> float:
     """Gbases/s through sketch_chunked (the sketch-phase hot path).
@@ -63,9 +90,22 @@ def bench_sketch(k: int = 31, s: int = 10_000, chunk: int = 1 << 13,
             key, (n_chunks, chunk + k - 1), 0, 4, dtype=jnp.int32
         ).astype(jnp.uint8)
 
-    rows = gen(jax.random.PRNGKey(0))
+    @jax.jit
+    def run(r):
+        # ONE stacked output = one device→host transfer in _sync, matching
+        # the production pull pattern (engine._sketch_batch): the tunnel
+        # charges ~40 ms fixed per transfer, and pulling the hi/lo planes
+        # separately was measured to add ~40 ms — 30% of the whole
+        # iteration — of pure transfer artifact to the timing.
+        return jnp.stack(_sketch.sketch_chunked(r, k, s))
+
+    # Two distinct inputs, alternated; sustained depth-1 pipelined timing
+    # (the production ingest overlaps the next dispatch with the previous
+    # pull — serialized per-call timing double-charges the tunnel's fixed
+    # dispatch+transfer costs against the kernel being measured).
+    rows = [gen(jax.random.PRNGKey(i)) for i in range(2)]
     _sync(rows)
-    dt = _time(lambda r: _sketch.sketch_chunked(r, k, s), rows)
+    dt = _time_pipelined(run, rows)
     bases = n_chunks * chunk
     return bases / dt / 1e9
 

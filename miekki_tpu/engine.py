@@ -10,6 +10,7 @@ distance tables are therefore bitwise-reproducible across backends
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Iterator, List, Optional, Sequence
 
@@ -96,25 +97,31 @@ def sketch_file(
 MAX_GENOME_BATCH = 16  # genomes vmapped per device call (power-of-2 buckets)
 
 
-def _sketch_batch(rows3d: jax.Array, k: int, s: int) -> u64.Pair:
-    """vmap of sketch_chunked over a [G, n, W] stack of same-shape genomes.
+def _sketch_batch(rows3d: jax.Array, k: int, s: int) -> jax.Array:
+    """vmap of sketch_chunked over a [G, n, W] stack of same-shape genomes,
+    returned as ONE stacked [2, G, s] (hi, lo) array so the host pays a
+    single device→host transfer per batch (the tunnel charges ~40 ms fixed
+    per transfer — docs/DESIGN.md round-3 facts).
 
     Env strategy vars are resolved here, outside jit, so the cache is keyed
     on them (ADVICE r1)."""
     return _sketch_batch_jit(
         rows3d, k, s, _sketch._env_merge_strategy(),
         _sketch._env_hash_impl(), _sketch._env_fused_levels(),
+        _sketch._env_group_body(),
     )
 
 
 @partial(jax.jit, static_argnames=("k", "s", "strategy", "hash_impl",
-                                   "fused_levels"))
+                                   "fused_levels", "group_body"))
 def _sketch_batch_jit(rows3d: jax.Array, k: int, s: int, strategy: str,
-                      hash_impl: str, fused_levels: int) -> u64.Pair:
-    return jax.vmap(
+                      hash_impl: str, fused_levels: int,
+                      group_body: str) -> jax.Array:
+    hi, lo = jax.vmap(
         lambda r: _sketch._sketch_chunked(r, k, s, 0, strategy, hash_impl,
-                                          fused_levels)
+                                          fused_levels, group_body)
     )(rows3d)
+    return jnp.stack([hi, lo])
 
 
 def build_index_per_record(
@@ -206,18 +213,39 @@ def _build_index_from_codes(
         for i, rows in enumerate(rows_per_genome):
             if rows is not None:
                 by_shape.setdefault(rows.shape, []).append(i)
-        for shape, idxs in by_shape.items():
-            for a in range(0, len(idxs), batch):
-                grp = idxs[a : a + batch]
-                g_pad = 1 << max(0, (len(grp) - 1).bit_length())
-                stack = np.full((g_pad,) + shape, _hash.INVALID_CODE, np.uint8)
-                for gi, i in enumerate(grp):
-                    stack[gi] = rows_per_genome[i]
-                hi, lo = _sketch_batch(jnp.asarray(stack), k, s)
-                hi, lo = np.asarray(hi), np.asarray(lo)
-                for gi, i in enumerate(grp):
-                    vals = u64.join(hi[gi], lo[gi])
-                    sketches[i] = vals[vals != np.uint64(0xFFFFFFFFFFFFFFFF)]
+        # Depth-1 pipelining (same pattern/env knob as dist_tiles): dispatch
+        # batch t+1 — including its host packing and upload — before pulling
+        # batch t, so the device sketches while the host pays the tunnel
+        # transfer.  Each result is ONE stacked [2, G, s] array = one pull.
+        from collections import deque
+
+        depth = int(os.environ.get("MIEKKI_PIPELINE", "1"))
+
+        def _dispatches():
+            for shape, idxs in by_shape.items():
+                for a in range(0, len(idxs), batch):
+                    grp = idxs[a : a + batch]
+                    g_pad = 1 << max(0, (len(grp) - 1).bit_length())
+                    stack = np.full((g_pad,) + shape, _hash.INVALID_CODE,
+                                    np.uint8)
+                    for gi, i in enumerate(grp):
+                        stack[gi] = rows_per_genome[i]
+                    yield grp, _sketch_batch(jnp.asarray(stack), k, s)
+
+        def _finish(grp, handle):
+            packed = np.asarray(handle)
+            hi, lo = packed[0], packed[1]
+            for gi, i in enumerate(grp):
+                vals = u64.join(hi[gi], lo[gi])
+                sketches[i] = vals[vals != np.uint64(0xFFFFFFFFFFFFFFFF)]
+
+        pending: deque = deque()
+        for item in _dispatches():
+            pending.append(item)
+            while len(pending) > depth:
+                _finish(*pending.popleft())
+        while pending:
+            _finish(*pending.popleft())
     return SketchIndex.from_sketches(sketches, names, params)
 
 

@@ -135,12 +135,16 @@ def _min_level(h: u64.Pair):
     return (jnp.concatenate(outs_hi), jnp.concatenate(outs_lo)), overflow
 
 
-def _tree_level(h: u64.Pair, cap: int = TREE_CAP, width: int = TREE_WIDTH):
+def _tree_level(h: u64.Pair, cap: int = None, width: int = None):
     """One reduction level: row-sort [C/width, width], keep the `cap`
     smallest per row.  Returns ([C/width*cap] pair, overflowed bool) —
     `overflowed` is True if any row had more than `cap` finite candidates
     (counting duplicates), in which case the result may have dropped a
     needed value and the caller must fall back to the exact path."""
+    if cap is None:
+        cap = TREE_CAP
+    if width is None:
+        width = TREE_WIDTH
     c = h[0].size
     rows = -(-c // width)
     if rows * width != c:
@@ -282,7 +286,8 @@ def _hash_rows(block: jax.Array, k: int, impl: str = None) -> u64.Pair:
 
 def sketch_chunked(chunks: jax.Array, k: int, s: int, group: int = 0,
                    strategy: str = None, hash_impl: str = None,
-                   fused_levels: int = None) -> u64.Pair:
+                   fused_levels: int = None,
+                   group_body: str = None) -> u64.Pair:
     """Sketch one genome given as [n_chunks, C + k - 1] code rows.
 
     Chunk rows must overlap by k-1 bases (row i covers window starts
@@ -305,15 +310,16 @@ def sketch_chunked(chunks: jax.Array, k: int, s: int, group: int = 0,
         strategy if strategy is not None else _env_merge_strategy(),
         hash_impl if hash_impl is not None else _env_hash_impl(),
         fused_levels if fused_levels is not None else _env_fused_levels(),
+        group_body if group_body is not None else _env_group_body(),
     )
 
 
 @partial(jax.jit,
          static_argnames=("k", "s", "group", "strategy", "hash_impl",
-                          "fused_levels"))
+                          "fused_levels", "group_body"))
 def _sketch_chunked(chunks: jax.Array, k: int, s: int, group: int,
                     strategy: str, hash_impl: str,
-                    fused_levels: int) -> u64.Pair:
+                    fused_levels: int, group_body: str = "unroll") -> u64.Pair:
     n, w = chunks.shape
     g = group or max(1, min(n, STEP_TARGET // max(1, w - k + 1)))
     if n % g:
@@ -357,7 +363,7 @@ def _sketch_chunked(chunks: jax.Array, k: int, s: int, group: int,
     # minimum-size tax); a real ~4.6 Mbase genome (16 pow2-bucketed steps)
     # now does 2 warmup merges + 2 group merges instead of 16 per-step ones.
     if strategy == "tree" and blocks.shape[0] > WARMUP_STEPS + 1:
-        return _sketch_group_merged(blocks, k, s, hash_impl)
+        return _sketch_group_merged(blocks, k, s, hash_impl, group_body)
 
     def body(carry, block):
         h = _hash_rows(block, k, impl=hash_impl)
@@ -396,8 +402,24 @@ MERGE_EVERY = 4
 WARMUP_STEPS = 2
 
 
+def _env_group_body() -> str:
+    """MIEKKI_GROUP_BODY=scan|unroll — layout of the group-merged tree
+    path's inner loop over the MERGE_EVERY blocks of a group.
+
+    ``scan``: an inner `lax.scan` over the group's blocks, each step
+    writing its compacted candidates into a fixed carry buffer via
+    `dynamic_update_slice`.  Per-step working set = ONE block, same as the
+    flat per-step scan — the r3s2 probes measured the m-unrolled grouped
+    body ~1.8x slower than a flat scan on the hash+threshold portion (VMEM
+    pressure of the m-wide fused step; docs/DESIGN.md).  ``unroll`` keeps
+    the python m-unrolled body.  Both are bitwise-equal (same compaction
+    tree, same merge cadence; property-tested)."""
+    return os.environ.get("MIEKKI_GROUP_BODY", "unroll").lower()
+
+
 def _sketch_group_merged(blocks: jax.Array, k: int, s: int,
-                         hash_impl: str) -> u64.Pair:
+                         hash_impl: str,
+                         group_body: str = "unroll") -> u64.Pair:
     """Tree-strategy scan with ONE bottom-s merge per MERGE_EVERY steps.
 
     Each inner step hashes its block, threshold-filters against the (stale
@@ -422,56 +444,105 @@ def _sketch_group_merged(blocks: jax.Array, k: int, s: int,
                            blocks[:WARMUP_STEPS])
     tail = blocks[WARMUP_STEPS:]
 
+    min_floor = _min_level_floor()
+    body_kind = group_body
+
+    def _step_cand(block, thr, overflow):
+        """Hash one block, threshold-filter, compact to the per-step
+        candidate budget.  Shared by both group-body layouts so they stay
+        bitwise-equal by construction."""
+        h = _hash_rows(block, k, impl=hash_impl)
+        flat = (h[0].reshape(-1), h[1].reshape(-1))
+        keep = u64.less(flat, thr)
+        cand = u64.where(keep, flat, u64.inf_like(keep.shape))
+        # Widest levels via cheap min-extraction (opt-in — survivor density
+        # is low here, the warmup head guarantees a warm threshold);
+        # sort-based tree levels finish the job.
+        while cand[0].size > min_floor:
+            cand, of = _min_level(cand)
+            overflow = overflow | of
+        while cand[0].size > 2 * CAND_BUDGET:
+            cand, of = _tree_level(cand)
+            overflow = overflow | of
+        return cand, overflow
+
+    def _step_cand_width() -> int:
+        """Static output width of _step_cand (mirrors its while loops)."""
+        c = g * (w - k + 1)
+        while c > min_floor:
+            c = MIN_KEEP * -(-c // MIN_GROUP)
+        while c > 2 * CAND_BUDGET:
+            c = TREE_CAP * -(-c // TREE_WIDTH)
+        return c
+
     def make_group_body(m: int):
         """Group body over m blocks (m = MERGE_EVERY for the full-group
         scan; the remainder group runs the same machinery at its exact
         size, so no padded all-INVALID blocks are ever hashed)."""
 
-        def group_body(carry, group):
-            thr = (carry[0][s - 1], carry[1][s - 1])
-            cands = []
-            overflow = jnp.bool_(False)
+        def fallback(carry, group):
+            # exact path: re-hash and merge every raw hash of the group
+            # (fires only on adversarial input — the warmup head absorbs
+            # the cold sketch).  Hashes are recomputed HERE rather than
+            # kept live from the fast path: keeping m raw hash blocks
+            # alive across the group would stop XLA fusing the
+            # hash→threshold→tree chain per step.
+            out = carry
             for i in range(m):
                 h = _hash_rows(group[i], k, impl=hash_impl)
-                flat = (h[0].reshape(-1), h[1].reshape(-1))
-                keep = u64.less(flat, thr)
-                cand = u64.where(keep, flat, u64.inf_like(keep.shape))
-                # Widest levels via cheap min-extraction (survivor density
-                # is low here — the warmup head guarantees a warm
-                # threshold); sort-based tree levels finish the job.
-                while cand[0].size > _min_level_floor():
-                    cand, of = _min_level(cand)
-                    overflow = overflow | of
-                while cand[0].size > 2 * CAND_BUDGET:
-                    cand, of = _tree_level(cand)
-                    overflow = overflow | of
-                cands.append(cand)
-            cat = (jnp.concatenate([c[0] for c in cands]),
-                   jnp.concatenate([c[1] for c in cands]))
+                out = _merge_sorted_trunc(
+                    out, (h[0].reshape(-1), h[1].reshape(-1)), s)
+            return out
+
+        def finish(carry, group, cat, overflow):
             while cat[0].size > 2 * CAND_BUDGET:
                 cat, of = _tree_level(cat)
                 overflow = overflow | of
             small = _merge_sorted_trunc(carry, cat, s)
 
             def fb_body(_state):
-                # exact path: re-hash and merge every raw hash of the group
-                # (fires only on adversarial input — the warmup head absorbs
-                # the cold sketch).  Hashes are recomputed HERE rather than
-                # kept live from the fast path: keeping m raw hash blocks
-                # alive across the group would stop XLA fusing the
-                # hash→threshold→tree chain per step.
-                out = carry
-                for i in range(m):
-                    h = _hash_rows(group[i], k, impl=hash_impl)
-                    out = _merge_sorted_trunc(
-                        out, (h[0].reshape(-1), h[1].reshape(-1)), s)
-                return jnp.bool_(False), out
+                return jnp.bool_(False), fallback(carry, group)
 
             _, out = lax.while_loop(
                 lambda st: st[0], fb_body, (overflow, small))
             return out, None
 
-        return group_body
+        def group_body_unroll(carry, group):
+            thr = (carry[0][s - 1], carry[1][s - 1])
+            cands = []
+            overflow = jnp.bool_(False)
+            for i in range(m):
+                cand, overflow = _step_cand(group[i], thr, overflow)
+                cands.append(cand)
+            cat = (jnp.concatenate([c[0] for c in cands]),
+                   jnp.concatenate([c[1] for c in cands]))
+            return finish(carry, group, cat, overflow)
+
+        def group_body_scan(carry, group):
+            # Inner lax.scan over the group's blocks: per-step working set
+            # is ONE block (like the flat per-step scan — the m-unrolled
+            # body measured ~1.8x slower on hash+threshold, docs/DESIGN.md
+            # r3s2); compacted candidates land in a fixed carry buffer via
+            # dynamic_update_slice (never scan ys — bulk ys emission
+            # measured +62 ms on this shape).
+            thr = (carry[0][s - 1], carry[1][s - 1])
+            p = _step_cand_width()
+            offs = jnp.arange(m, dtype=jnp.int32) * p
+
+            def inner(st, xs):
+                bh, bl, of = st
+                block, off = xs
+                cand, of = _step_cand(block, thr, of)
+                bh = lax.dynamic_update_slice(bh, cand[0], (off,))
+                bl = lax.dynamic_update_slice(bl, cand[1], (off,))
+                return (bh, bl, of), None
+
+            buf = u64.inf_like((m * p,))
+            (bh, bl, overflow), _ = lax.scan(
+                inner, (buf[0], buf[1], jnp.bool_(False)), (group, offs))
+            return finish(carry, group, (bh, bl), overflow)
+
+        return group_body_scan if body_kind == "scan" else group_body_unroll
 
     q, r = divmod(tail.shape[0], MERGE_EVERY)
     out = warm
@@ -481,6 +552,11 @@ def _sketch_group_merged(blocks: jax.Array, k: int, s: int,
     if r:
         out, _ = make_group_body(r)(out, tail[q * MERGE_EVERY :])
     return out
+
+
+@jax.jit
+def _pack_pair(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    return jnp.stack([hi, lo])
 
 
 def _next_pow2(n: int) -> int:
@@ -530,5 +606,8 @@ def sketch_codes_device(
     """
     rows = bucketed_chunk_codes(codes, k, chunk)
     hi, lo = sketch_chunked(jnp.asarray(rows), k, s)
-    out = u64.join(np.asarray(hi), np.asarray(lo))
+    # one packed device→host transfer (the tunnel charges ~40 ms fixed per
+    # transfer; two separate plane pulls measured ~40 ms slower)
+    packed = np.asarray(_pack_pair(hi, lo))
+    out = u64.join(packed[0], packed[1])
     return out[out != np.uint64(0xFFFFFFFFFFFFFFFF)]

@@ -190,6 +190,35 @@ def test_merge_strategies_equivalent(monkeypatch, strategy):
     assert np.array_equal(got, want), strategy
 
 
+@pytest.mark.parametrize("group_body", ["unroll", "scan"])
+def test_group_body_layouts_equivalent(group_body):
+    """Both group-merged inner-loop layouts (python-unrolled vs inner
+    lax.scan with a dynamic_update_slice candidate buffer) must be
+    bitwise-equal to the oracle, including the remainder-group path and
+    invalid-code resets."""
+    import numpy as np
+    import jax.numpy as jnp
+    from miekki_tpu.ops import sketch as S
+    from miekki_tpu.ops import hash as H
+    from miekki_tpu.oracle import nthash as O
+
+    rng = np.random.default_rng(11)
+    k, s = 21, 400
+    genome = rng.integers(0, 4, size=90_000, dtype=np.int64)
+    codes = genome.astype(np.uint8)
+    codes[rng.random(codes.shape) < 0.001] = H.INVALID_CODE
+    rows = S.bucketed_chunk_codes(codes, k, 2048)
+    # group=1 → many narrow steps → warmup + full groups + remainder group
+    hi, lo = S.sketch_chunked(jnp.asarray(rows), k, s, group=1,
+                              strategy="tree", group_body=group_body)
+    from miekki_tpu.ops import u64
+
+    got = u64.join(np.asarray(hi), np.asarray(lo))
+    got = got[got != np.uint64(0xFFFFFFFFFFFFFFFF)]
+    want = np.unique(O.canonical_hashes(codes, k))[:s]
+    assert np.array_equal(got, want), group_body
+
+
 def test_merge_tree_repetitive_genome(monkeypatch):
     """A highly repetitive genome (duplicate hashes crowd tree rows) must
     still be exact via the overflow fallback."""
