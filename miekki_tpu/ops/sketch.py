@@ -70,6 +70,8 @@ def _merge_sorted_trunc(sketch: u64.Pair, cand: u64.Pair, s: int) -> u64.Pair:
 
 TREE_WIDTH = 128  # lanes per row-local sort
 TREE_CAP = 32     # candidates kept per row per level
+TREE_CAP0 = 16    # keep per row on the widest (first) group-path level —
+# same sort cost, halves every later level (see _sketch_group_merged)
 
 MIN_GROUP = 8        # lanes per min-extraction group (_min_level)
 MIN_KEEP = 4         # distinct values kept per group (2x compaction)
@@ -447,6 +449,18 @@ def _sketch_group_merged(blocks: jax.Array, k: int, s: int,
     min_floor = _min_level_floor()
     body_kind = group_body
 
+    # First (widest) tree level keeps 16/128 instead of 32/128: the row
+    # sort's cost is cap-independent, but every downstream size halves
+    # (level 2 input, step buffer, group concat, final merge) — measured
+    # 1.90 -> 2.13 Gbase/s sustained on the 134-Mbase shape (medians,
+    # reproduced; bitwise-equal).  Overflow stays negligible post-warmup:
+    # worst-case survivor rate s/(2*STEP_TARGET) per lane → λ ≈ 0.8 per
+    # 128-lane row at the first post-warmup step, P(row > 16) ~ 1e-14;
+    # adversarial inputs still hit the exact while_loop fallback.
+    # cap0=8 also measured valid but slower (2.02 — it skips level 2 and
+    # pushes 2x the width into the group concat).
+    cap0 = int(os.environ.get("MIEKKI_TREE_CAP0", "0")) or TREE_CAP0
+
     def _step_cand(block, thr, overflow):
         """Hash one block, threshold-filter, compact to the per-step
         candidate budget.  Shared by both group-body layouts so they stay
@@ -461,9 +475,12 @@ def _sketch_group_merged(blocks: jax.Array, k: int, s: int,
         while cand[0].size > min_floor:
             cand, of = _min_level(cand)
             overflow = overflow | of
+        cap = cap0  # first (widest) level may keep fewer per row — the
+        # sort cost is unchanged but every later level halves
         while cand[0].size > 2 * CAND_BUDGET:
-            cand, of = _tree_level(cand)
+            cand, of = _tree_level(cand, cap=cap)
             overflow = overflow | of
+            cap = TREE_CAP
         return cand, overflow
 
     def _step_cand_width() -> int:
@@ -471,8 +488,10 @@ def _sketch_group_merged(blocks: jax.Array, k: int, s: int,
         c = g * (w - k + 1)
         while c > min_floor:
             c = MIN_KEEP * -(-c // MIN_GROUP)
+        cap = cap0
         while c > 2 * CAND_BUDGET:
-            c = TREE_CAP * -(-c // TREE_WIDTH)
+            c = cap * -(-c // TREE_WIDTH)
+            cap = TREE_CAP
         return c
 
     def make_group_body(m: int):
