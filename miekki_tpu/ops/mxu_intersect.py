@@ -458,9 +458,21 @@ def tile_counts_mxu_finish(pending):
         # 4096 pairs measured 60 GB of HLO temps, HBM OOM — while one
         # batched sort is a single [pairs, 2s] buffer).  RESOLVE_CHUNK
         # bounds the sort buffer at ~1.3 GB.
+        #
+        # First try PREFIX resolution at width w < s: sort only the first w
+        # elements of each sketch.  Exactness certificate per pair: with
+        # mcap = min(A[w-1], B[w-1]) (u64; INF when a side fits entirely),
+        # every element ≤ mcap of either sketch is inside its prefix, so if
+        # the prefix merge holds ≥ s distinct values ≤ mcap, all union
+        # ranks ≤ s are complete and the count is exact.  Pairs failing the
+        # certificate (near-clone pairs whose shared mass pushes the s-th
+        # distinct past the caps) re-resolve at full width.  On the family
+        # tile this trims the epilogue sort from [P, 2s] to [P, 2w].
         RESOLVE_CHUNK = 8192
+        w = min(s, _resolve_prefix_width(s))
         k = amb_i.size
         fixed_all = np.empty(k, np.int32)
+        ok_all = np.empty(k, bool)
         for o in range(0, k, RESOLVE_CHUNK):
             ci = amb_i[o:o + RESOLVE_CHUNK]
             cj = amb_j[o:o + RESOLVE_CHUNK]
@@ -468,12 +480,71 @@ def tile_counts_mxu_finish(pending):
             kp = max(8, 1 << (kc - 1).bit_length())  # pow2 bounds compiles
             pi = np.pad(ci, (0, kp - kc))
             pj = np.pad(cj, (0, kp - kc))
+            a = (rows[0][pi, :w], rows[1][pi, :w])
+            b = (cols[0][pj, :w], cols[1][pj, :w])
+            packed = np.asarray(_resolve_pairs_prefix(a, b, s))
+            fixed_all[o:o + kc] = packed[0][:kc]
+            ok_all[o:o + kc] = packed[1][:kc].astype(bool)
+        bad = np.flatnonzero(~ok_all)
+        for o in range(0, bad.size, RESOLVE_CHUNK):
+            sel = bad[o:o + RESOLVE_CHUNK]
+            kc = sel.size
+            kp = max(8, 1 << (kc - 1).bit_length())
+            pi = np.pad(amb_i[sel], (0, kp - kc))
+            pj = np.pad(amb_j[sel], (0, kp - kc))
             a = (rows[0][pi], rows[1][pi])
             b = (cols[0][pj], cols[1][pj])
-            fixed_all[o:o + kc] = np.asarray(
+            fixed_all[sel] = np.asarray(
                 _resolve_pairs_sorted(a, b, s))[:kc]
         res["shared_in_x"][amb_i, amb_j] = fixed_all
     return res
+
+
+def _resolve_prefix_width(s: int) -> int:
+    """Prefix width for the first-try ambiguity resolution: ~5/8·s rounded
+    up to a multiple of 2048.  A pair needs ~(s + shared)/2 elements per
+    side below the s-th union distinct; 5/8·s covers sharing up to ~25%
+    of s with margin — far above any non-clone workload — and clone-like
+    pairs fall through to the exact full-width pass."""
+    import os as _os
+
+    env = _os.environ.get("MIEKKI_RESOLVE_W")
+    if env:
+        return int(env)
+    return -(-(5 * s // 8) // 2048) * 2048
+
+
+@partial(jax.jit, static_argnames=("s",))
+def _resolve_pairs_prefix(a: u64.Pair, b: u64.Pair, s: int):
+    """Prefix-width ambiguity resolution: exact shared_in_x per pair from
+    the w-element sketch prefixes, plus a per-pair validity certificate.
+
+    Returns ONE packed int32 [2, P] array (count | ok).  ok=1 iff the
+    prefix merge provably contains every union element of rank ≤ s: either
+    ≥ s distinct values ≤ mcap = min(last(A), last(B)) (all elements ≤
+    mcap of both sketches are inside their prefixes by sortedness), or
+    both prefixes end in INF padding (the prefixes ARE the whole sketches).
+    Pairs with ok=0 must be re-resolved at full width."""
+    h = jnp.concatenate([a[0], b[0]], axis=-1)
+    l = jnp.concatenate([a[1], b[1]], axis=-1)
+    h, l = jax.lax.sort((h, l), dimension=-1, num_keys=2)
+    valid = ~((h == u64.INF_HI) & (l == u64.INF_LO))
+    pos = jax.lax.broadcasted_iota(jnp.int32, h.shape, h.ndim - 1)
+    dup = ((h == jnp.roll(h, 1, -1)) & (l == jnp.roll(l, 1, -1))
+           & (pos > 0) & valid)
+    distinct = valid & ~dup
+    rank = jnp.cumsum(distinct.astype(jnp.int32), axis=-1)
+    cnt = jnp.sum((dup & (rank <= s)).astype(jnp.int32), axis=-1)
+
+    cap = u64.minimum((a[0][..., -1], a[1][..., -1]),
+                      (b[0][..., -1], b[1][..., -1]))
+    le_cap = ~u64.less((cap[0][..., None], cap[1][..., None]),
+                       (h, l))  # (h,l) <= cap
+    cnt_le = jnp.sum((distinct & le_cap).astype(jnp.int32), axis=-1)
+    both_inf = (u64.is_inf((a[0][..., -1], a[1][..., -1]))
+                & u64.is_inf((b[0][..., -1], b[1][..., -1])))
+    ok = (cnt_le >= s) | both_inf
+    return jnp.stack([cnt, ok.astype(jnp.int32)])
 
 
 @partial(jax.jit, static_argnames=("s",))

@@ -244,3 +244,47 @@ def test_stream_with_col_tag_matches_col_sort():
     direct = mxu_intersect.sketch_stream(rows, True)
     for d, x in zip(derived, direct):
         np.testing.assert_array_equal(np.asarray(d), np.asarray(x))
+
+
+def test_prefix_resolution_and_clone_fallback():
+    """Ambiguity resolution at prefix width w < s must stay exact, and
+    near-clone pairs (certificate fails: the s-th union distinct lies past
+    the prefix caps) must fall through to the full-width re-resolve."""
+    rng = np.random.default_rng(99)
+    s = 8192
+    w = mxu_intersect._resolve_prefix_width(s)
+    assert w < s  # the prefix path is actually exercised at this s
+    root = np.unique(rng.integers(0, 2**62, size=3 * s, dtype=np.uint64))
+    sketches = []
+    for share in (0.95, 0.9, 0.2, 0.15, 0.0):
+        keep = rng.random(root.size) < share
+        vals = np.concatenate([
+            root[keep],
+            rng.integers(0, 2**62, size=2 * s, dtype=np.uint64)])
+        sketches.append(np.unique(vals)[:s])
+    rows = stack_pair(sketches[:3], s)
+    cols = stack_pair(sketches[2:], s)
+    ref = reference_tile(rows, cols, s)
+    exact = mxu_intersect.tile_counts_mxu_exact(rows, cols, s)
+    for k in ("shared_in_x", "union_size", "inter_full"):
+        np.testing.assert_array_equal(exact[k], ref[k], err_msg=k)
+
+
+def test_prefix_certificate_rejects_clones():
+    """Direct check of _resolve_pairs_prefix: clone pairs report ok=0 and
+    low-sharing pairs report ok=1 with the exact count."""
+    rng = np.random.default_rng(7)
+    s = 8192
+    w = mxu_intersect._resolve_prefix_width(s)
+    base = np.unique(rng.integers(0, 2**62, size=2 * s, dtype=np.uint64))[:s]
+    other = np.unique(rng.integers(0, 2**62, size=2 * s, dtype=np.uint64))[:s]
+    rows = stack_pair([base, base], s)
+    cols = stack_pair([base, other], s)
+    a = (rows[0][:, :w], rows[1][:, :w])
+    b = (cols[0][:, :w], cols[1][:, :w])
+    packed = np.asarray(mxu_intersect._resolve_pairs_prefix(a, b, s))
+    assert packed[1][0] == 0  # clone pair: certificate must refuse
+    assert packed[1][1] == 1  # unrelated pair: certificate holds
+    ref = intersect.pair_counts_merge(
+        (rows[0][1], rows[1][1]), (cols[0][1], cols[1][1]), s)
+    assert packed[0][1] == int(ref["shared_in_x"])
