@@ -105,21 +105,23 @@ def _sketch_batch(rows3d: jax.Array, k: int, s: int) -> jax.Array:
 
     Env strategy vars are resolved here, outside jit, so the cache is keyed
     on them (ADVICE r1)."""
+    import os as _os
+
+    cap0 = int(_os.environ.get("MIEKKI_TREE_CAP0", "0")) or _sketch.TREE_CAP0
     return _sketch_batch_jit(
         rows3d, k, s, _sketch._env_merge_strategy(),
-        _sketch._env_hash_impl(), _sketch._env_fused_levels(),
-        _sketch._env_group_body(),
+        _sketch._env_hash_impl(), _sketch._env_fused_levels(), cap0,
     )
 
 
 @partial(jax.jit, static_argnames=("k", "s", "strategy", "hash_impl",
-                                   "fused_levels", "group_body"))
+                                   "fused_levels", "cap0"))
 def _sketch_batch_jit(rows3d: jax.Array, k: int, s: int, strategy: str,
                       hash_impl: str, fused_levels: int,
-                      group_body: str) -> jax.Array:
+                      cap0: int) -> jax.Array:
     hi, lo = jax.vmap(
         lambda r: _sketch._sketch_chunked(r, k, s, 0, strategy, hash_impl,
-                                          fused_levels, group_body)
+                                          fused_levels, cap0)
     )(rows3d)
     return jnp.stack([hi, lo])
 
@@ -336,7 +338,21 @@ def dist_tiles(
     plane_bytes = (8 if mxu else 4) if compact else 8
     # worst case per cached block: planes + row stream + derived col stream
     bytes_per_block = tile * s * ((12 * 2 + plane_bytes) if mxu else plane_bytes)
-    cache_mb = int(_os.environ.get("MIEKKI_COL_CACHE_MB", "6144"))
+    cache_mb = _os.environ.get("MIEKKI_COL_CACHE_MB")
+    if cache_mb is not None:
+        cache_mb = int(cache_mb)
+    else:
+        # Default: ~40% of the device's HBM when discoverable (leaves room
+        # for the ~2 in-flight pipelined tiles' temporaries on smaller-HBM
+        # parts — ADVICE r3), else the 16 GB-chip-tuned 6144 MB.
+        cache_mb = 6144
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            limit = stats.get("bytes_limit")
+            if limit:
+                cache_mb = max(512, int(limit * 0.4) >> 20)
+        except Exception:
+            pass
     cache_cap = max(2, (cache_mb << 20) // max(1, bytes_per_block))
     blk_cache: dict = {}
 
@@ -1172,6 +1188,7 @@ def _packed_read_batches(path, k: int, flat: int) -> Iterator[np.ndarray]:
     if _native.available():
         yield from _packed_read_batches_fast(path, k, flat)
         return
+    _native.warn_python_fallback("_packed_read_batches")
     buf = np.full(flat + k - 1, _encode.INVALID_CODE, dtype=np.uint8)
     pos = 0
     step = flat - k + 1  # long records are split with k-1 overlap so every

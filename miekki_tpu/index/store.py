@@ -101,40 +101,44 @@ class SketchIndex:
 
     def cardinalities(self) -> np.ndarray:
         """KMV estimate of each genome's distinct canonical-k-mer count
-        (delegates to oracle.compare.kmv_cardinality — see its docstring).
-        Compact indexes decode codes to approximate hash values first: KMV
-        is scale-dependent, and codes live in a warped 32-bit domain."""
-        from ..oracle.compare import kmv_cardinality
+        (same estimator as oracle.compare.kmv_cardinality — see its
+        docstring; property-tested bitwise-equal against it).  Compact
+        indexes decode codes to approximate hash values first: KMV is
+        scale-dependent, and codes live in a warped 32-bit domain.
+
+        ONE vectorized pass over the [N, s] planes (VERDICT r3 #7: the
+        per-genome Python loop was 100k iterations at config-5 scale).
+        Sketches are sorted ascending and sentinel-padded, so genome i's
+        j-th (= largest valid) element sits at column j-1."""
+        n, s = self.hi.shape
+        sentinel = (self.hi == 0xFFFFFFFF) & (self.lo == 0xFFFFFFFF)
+        j = (s - sentinel.sum(axis=1)).astype(np.int64)  # valid counts
+        last_col = np.maximum(j - 1, 0)
+        rows = np.arange(n)
 
         if self.params.compact:
             from ..ops import compact as _compact
 
             # ALWAYS extrapolate for compact sketches: to_compact's code
             # dedup can leave j < s valid codes on a genome that had >= s
-            # distinct k-mers, so kmv_cardinality's "fewer than s => exact
-            # count" branch would return ~j (a ~500x underestimate that
-            # poisons the default p_value column).  Same estimator as
-            # kmv_cardinality — solve the canonical-hash CDF 2q - q² =
-            # j/(n+1) at the j-th min — valid for any j, and it converges
-            # to the exact count on genuinely-small genomes (the j-th min
-            # of an exhaustive sketch sits at CDF ~ n/(n+1) => n̂ ~ n).
-            out = np.empty(len(self), np.float64)
-            for i in range(len(self)):
-                codes = self.hi[i][~((self.hi[i] == 0xFFFFFFFF)
-                                     & (self.lo[i] == 0xFFFFFFFF))]
-                v = _compact.decode_approx(codes)
-                j = len(v)
-                if j < 2:
-                    out[i] = float(j)
-                else:
-                    q = float(v[-1]) / 2.0 ** 64
-                    out[i] = j / max(2.0 * q - q * q, 1e-300) - 1.0
-            return out
-        return np.array(
-            [kmv_cardinality(self.sketch_u64(i), self.params.s)
-             for i in range(len(self))],
-            dtype=np.float64,
-        )
+            # distinct k-mers, so the "fewer than s => exact count" branch
+            # would return ~j (a ~500x underestimate that poisons the
+            # default p_value column).  Solve the canonical-hash CDF
+            # 2q - q² = j/(n+1) at the j-th min — valid for any j, and it
+            # converges to the exact count on genuinely-small genomes.
+            v_last = _compact.decode_approx(self.hi[rows, last_col])
+            q = v_last.astype(np.float64) / 2.0 ** 64
+            est = j / np.maximum(2.0 * q - q * q, 1e-300) - 1.0
+            return np.where(j < 2, j.astype(np.float64), est)
+
+        # Plain u64 sketches: exact count when the genome had fewer than s
+        # distinct k-mers, KMV extrapolation from the s-th min otherwise
+        # (bit-identical to kmv_cardinality per row).
+        v_last = ((self.hi[rows, last_col].astype(np.uint64) << np.uint64(32))
+                  | self.lo[rows, last_col])
+        q = v_last.astype(np.float64) / 2.0 ** 64
+        est = s / np.maximum(2.0 * q - q * q, 1e-300) - 1.0
+        return np.where(j < s, j.astype(np.float64), est)
 
     # ---------- persistence ----------
 

@@ -100,6 +100,7 @@ def read_encoded(path: str | os.PathLike) -> Iterator[Tuple[str, np.ndarray]]:
     if _native.available():
         yield from _native.read_encoded_native(path)
         return
+    _native.warn_python_fallback("read_encoded")
     for name, seq in read_records(path):
         yield name, _encode.encode(seq)
 

@@ -93,14 +93,9 @@ def stream_with_col_tag(stream):
     return hi, lo, pay | _COL_TAG
 
 
-def _mxu_mode() -> str:
-    """MIEKKI_MXU_MODE=full|band.  full (default): the exact equality-
-    matrix pass (`_tile_counts_mxu_full`) — correct for ANY value-run
-    length, never overflows.  band: the legacy W-truncated shifted-compare
-    pass, kept for comparison benchmarks."""
-    import os
-
-    return os.environ.get("MIEKKI_MXU_MODE", "full").lower()
+# (Round-4 prune: the MIEKKI_MXU_MODE env knob was removed — `full` is the
+# production mode; the legacy banded pass remains reachable only through
+# the explicit `mode="band"` argument for comparison benchmarks/tests.)
 
 
 def tile_counts_mxu(rows: u64.Pair, cols: u64.Pair, s: int, *,
@@ -122,7 +117,7 @@ def tile_counts_mxu(rows: u64.Pair, cols: u64.Pair, s: int, *,
         col_stream = sketch_stream(cols, True)
     ti = rows[0].shape[0]
     tj = cols[0].shape[0]
-    mode = mode or _mxu_mode()
+    mode = mode or "full"
     if mode == "full":
         # chunk = ti + tj: the minimum satisfying the run-spans-<=2-chunks
         # invariant, and the measured optimum — the E-matmul cost is LINEAR
@@ -405,7 +400,7 @@ def tile_counts_mxu_start(rows: u64.Pair, cols: u64.Pair, s: int, *,
     ti = rows[0].shape[0]
     tj = cols[0].shape[0]
     flat_dev = _mxu_exact_packed(row_stream, col_stream, rows, cols,
-                                 ti, tj, s, chunk, band, _mxu_mode())
+                                 ti, tj, s, chunk, band, "full")
     return (flat_dev, rows, cols, s)
 
 
@@ -510,7 +505,10 @@ def _resolve_prefix_width(s: int) -> int:
 
     env = _os.environ.get("MIEKKI_RESOLVE_W")
     if env:
-        return int(env)
+        # Clamp to [1, s]: w<=0 would produce zero-width prefix slices
+        # (crashing a[..., -1]); w>s buys nothing over the full sketch
+        # (ADVICE r3).
+        return max(1, min(s, int(env)))
     return -(-(5 * s // 8) // 2048) * 2048
 
 

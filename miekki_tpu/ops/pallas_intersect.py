@@ -124,11 +124,9 @@ def _counts_for_col(rhi, rlo, chi_row, clo_row, s: int, sp: int):
         p2 = 1 << (2 * sp - 1).bit_length()
         hi, lo = _merge_any_width(hi, lo, p2)
     else:
-        import os
-        if os.environ.get("MIEKKI_MERGE_NET", "bitonic") == "any":
-            hi, lo = _merge_any_width(hi, lo, 2 * sp)
-        else:
-            hi, lo = _bitonic_merge(hi, lo, sp)
+        # pow2 widths always use the bitonic network (the MIEKKI_MERGE_NET
+        # =any toggle was pruned in round 4 — measured slower at pow2).
+        hi, lo = _bitonic_merge(hi, lo, sp)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 1)
     valid = ~((hi == np.uint32(0xFFFFFFFF)) & (lo == np.uint32(0xFFFFFFFF)))
@@ -302,7 +300,7 @@ def tile_counts_pallas(rows: u64.Pair, cols: u64.Pair, s: int,
         tj += 1
     out_shape = jax.ShapeDtypeStruct((ti_p, tj), jnp.int32)
     row_spec = pl.BlockSpec((BI, sp), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    col_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM; DMA'd
+    col_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM; DMA'd
     out_spec = pl.BlockSpec((BI, tj), lambda i: (i, 0), memory_space=pltpu.VMEM)
     n_slots = 4 if unroll2 else 2
     shared, union, inter = pl.pallas_call(
@@ -493,7 +491,7 @@ def tile_counts_pallas32(rows: jax.Array, cols: jax.Array, s: int,
     n_slots = 4 if unroll2 else 2
     out_shape = jax.ShapeDtypeStruct((ti_p, tj), jnp.int32)
     row_spec = pl.BlockSpec((BI, sp), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    col_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    col_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_spec = pl.BlockSpec((BI, tj), lambda i: (i, 0), memory_space=pltpu.VMEM)
     shared, union, inter = pl.pallas_call(
         partial(_tile_kernel32_u2 if unroll2 else _tile_kernel32,

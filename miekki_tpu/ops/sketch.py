@@ -73,68 +73,10 @@ TREE_CAP = 32     # candidates kept per row per level
 TREE_CAP0 = 16    # keep per row on the widest (first) group-path level —
 # same sort cost, halves every later level (see _sketch_group_merged)
 
-MIN_GROUP = 8        # lanes per min-extraction group (_min_level)
-MIN_KEEP = 4         # distinct values kept per group (2x compaction)
-# Width below which min-extraction stops and sort-based tree levels take
-# over.  OPT-IN (MIEKKI_MIN_LEVEL=1): on the real chip the min-extraction
-# levels MEASURED SLOWER than the tree sort they replace despite ~5x fewer
-# nominal vector ops — 0.66/0.68 vs 0.98/1.17 Gbase/s on the 134-Mbase
-# bench shape (2026-08-19, reproduced twice each way; docs/DESIGN.md).
-# XLA's lowering of the 4x(fold+masked-drop) extraction chain loses to its
-# own fused sort network here; kept opt-in for toolchains where it wins.
-MIN_LEVEL_FLOOR = None  # test override hook; None → read env per call
-
-
-def _min_level_floor() -> int:
-    """Lazy MIEKKI_MIN_LEVEL read (same per-call discipline as the other
-    _env_* knobs — setting the env var after import takes effect)."""
-    if MIN_LEVEL_FLOOR is not None:
-        return MIN_LEVEL_FLOOR
-    return (1 << 16) if os.environ.get("MIEKKI_MIN_LEVEL") == "1" \
-        else (1 << 62)
-
-
-def _min_level(h: u64.Pair):
-    """One cheap 2x compaction level: keep the MIN_KEEP smallest DISTINCT
-    values of each MIN_GROUP-lane stride group by repeated min-extraction.
-
-    Exact under bottom-s-of-a-SET semantics: duplicates of an extracted
-    value are dropped, which the final sort-dedup-truncate merge would do
-    anyway.  Returns ([c/2] pair, overflowed bool) — overflow is True iff
-    some group held more than MIN_KEEP distinct finite values (a needed
-    value may then have been dropped; the caller must fall back to the
-    exact path, same contract as `_tree_level`).
-
-    Cost: per extraction, a depth-3 tree of 7 u64 compare-selects over the
-    [MIN_GROUP, c/8] sublane axis plus one masked equality — ~5x fewer
-    vector ops per input lane than `_tree_level`'s 128-lane 2-key sort
-    network, at half the reduction rate (2x vs 4x).  Used by the
-    group-merged tree path on its widest (hot) levels, where the warm
-    threshold makes survivor density low: with survivor rate p per lane,
-    P(a group holds >MIN_KEEP distinct) ~ C(8,5) p^5 — measured-negligible
-    fallback rates for every post-warmup step (the warmup head guarantees
-    a tight threshold before this path runs).
-    """
-    c = h[0].size
-    w = -(-c // MIN_GROUP)
-    if w * MIN_GROUP != c:
-        pad = w * MIN_GROUP - c
-        h = (jnp.concatenate([h[0], jnp.full(pad, u64.INF_HI, jnp.uint32)]),
-             jnp.concatenate([h[1], jnp.full(pad, u64.INF_LO, jnp.uint32)]))
-    x = (h[0].reshape(MIN_GROUP, w), h[1].reshape(MIN_GROUP, w))
-    outs_hi, outs_lo = [], []
-    for _ in range(MIN_KEEP):
-        planes = [(x[0][r], x[1][r]) for r in range(MIN_GROUP)]
-        while len(planes) > 1:  # pairwise tree fold → depth-3 min
-            planes = [u64.minimum(planes[i], planes[i + 1])
-                      for i in range(0, len(planes), 2)]
-        m = planes[0]
-        outs_hi.append(m[0])
-        outs_lo.append(m[1])
-        drop = (x[0] == m[0][None, :]) & (x[1] == m[1][None, :])
-        x = u64.where(drop, u64.inf_like(x[0].shape), x)
-    overflow = ~jnp.all(u64.is_inf(x))
-    return (jnp.concatenate(outs_hi), jnp.concatenate(outs_lo)), overflow
+# (Round-4 prune: the opt-in MIEKKI_MIN_LEVEL min-extraction levels were
+# removed — they MEASURED SLOWER than the tree sort they replaced on the
+# real chip, 0.66/0.68 vs 0.98/1.17 Gbase/s on the 134-Mbase bench shape,
+# 2026-08-19, reproduced twice each way; docs/DESIGN.md keeps the record.)
 
 
 def _tree_level(h: u64.Pair, cap: int = None, width: int = None):
@@ -288,8 +230,7 @@ def _hash_rows(block: jax.Array, k: int, impl: str = None) -> u64.Pair:
 
 def sketch_chunked(chunks: jax.Array, k: int, s: int, group: int = 0,
                    strategy: str = None, hash_impl: str = None,
-                   fused_levels: int = None,
-                   group_body: str = None) -> u64.Pair:
+                   fused_levels: int = None) -> u64.Pair:
     """Sketch one genome given as [n_chunks, C + k - 1] code rows.
 
     Chunk rows must overlap by k-1 bases (row i covers window starts
@@ -312,16 +253,16 @@ def sketch_chunked(chunks: jax.Array, k: int, s: int, group: int = 0,
         strategy if strategy is not None else _env_merge_strategy(),
         hash_impl if hash_impl is not None else _env_hash_impl(),
         fused_levels if fused_levels is not None else _env_fused_levels(),
-        group_body if group_body is not None else _env_group_body(),
+        int(os.environ.get("MIEKKI_TREE_CAP0", "0")) or TREE_CAP0,
     )
 
 
 @partial(jax.jit,
          static_argnames=("k", "s", "group", "strategy", "hash_impl",
-                          "fused_levels", "group_body"))
+                          "fused_levels", "cap0"))
 def _sketch_chunked(chunks: jax.Array, k: int, s: int, group: int,
                     strategy: str, hash_impl: str,
-                    fused_levels: int, group_body: str = "unroll") -> u64.Pair:
+                    fused_levels: int, cap0: int = TREE_CAP0) -> u64.Pair:
     n, w = chunks.shape
     g = group or max(1, min(n, STEP_TARGET // max(1, w - k + 1)))
     if n % g:
@@ -365,7 +306,7 @@ def _sketch_chunked(chunks: jax.Array, k: int, s: int, group: int,
     # minimum-size tax); a real ~4.6 Mbase genome (16 pow2-bucketed steps)
     # now does 2 warmup merges + 2 group merges instead of 16 per-step ones.
     if strategy == "tree" and blocks.shape[0] > WARMUP_STEPS + 1:
-        return _sketch_group_merged(blocks, k, s, hash_impl, group_body)
+        return _sketch_group_merged(blocks, k, s, hash_impl, cap0)
 
     def body(carry, block):
         h = _hash_rows(block, k, impl=hash_impl)
@@ -404,24 +345,13 @@ MERGE_EVERY = 4
 WARMUP_STEPS = 2
 
 
-def _env_group_body() -> str:
-    """MIEKKI_GROUP_BODY=scan|unroll — layout of the group-merged tree
-    path's inner loop over the MERGE_EVERY blocks of a group.
-
-    ``scan``: an inner `lax.scan` over the group's blocks, each step
-    writing its compacted candidates into a fixed carry buffer via
-    `dynamic_update_slice`.  Per-step working set = ONE block, same as the
-    flat per-step scan — the r3s2 probes measured the m-unrolled grouped
-    body ~1.8x slower than a flat scan on the hash+threshold portion (VMEM
-    pressure of the m-wide fused step; docs/DESIGN.md).  ``unroll`` keeps
-    the python m-unrolled body.  Both are bitwise-equal (same compaction
-    tree, same merge cadence; property-tested)."""
-    return os.environ.get("MIEKKI_GROUP_BODY", "unroll").lower()
+# (Round-4 prune: the MIEKKI_GROUP_BODY=scan inner-lax.scan group-body
+# layout was removed — it lost to the python-unrolled body at every
+# production shape; the r3s2 measurements live in docs/DESIGN.md.)
 
 
 def _sketch_group_merged(blocks: jax.Array, k: int, s: int,
-                         hash_impl: str,
-                         group_body: str = "unroll") -> u64.Pair:
+                         hash_impl: str, cap0: int = TREE_CAP0) -> u64.Pair:
     """Tree-strategy scan with ONE bottom-s merge per MERGE_EVERY steps.
 
     Each inner step hashes its block, threshold-filters against the (stale
@@ -446,11 +376,8 @@ def _sketch_group_merged(blocks: jax.Array, k: int, s: int,
                            blocks[:WARMUP_STEPS])
     tail = blocks[WARMUP_STEPS:]
 
-    min_floor = _min_level_floor()
-    body_kind = group_body
-
-    # First (widest) tree level keeps 16/128 instead of 32/128: the row
-    # sort's cost is cap-independent, but every downstream size halves
+    # cap0: first (widest) tree level keeps 16/128 instead of 32/128 — the
+    # row sort's cost is cap-independent, but every downstream size halves
     # (level 2 input, step buffer, group concat, final merge) — measured
     # 1.90 -> 2.13 Gbase/s sustained on the 134-Mbase shape (medians,
     # reproduced; bitwise-equal).  Overflow stays negligible post-warmup:
@@ -458,23 +385,17 @@ def _sketch_group_merged(blocks: jax.Array, k: int, s: int,
     # 128-lane row at the first post-warmup step, P(row > 16) ~ 1e-14;
     # adversarial inputs still hit the exact while_loop fallback.
     # cap0=8 also measured valid but slower (2.02 — it skips level 2 and
-    # pushes 2x the width into the group concat).
-    cap0 = int(os.environ.get("MIEKKI_TREE_CAP0", "0")) or TREE_CAP0
+    # pushes 2x the width into the group concat).  Resolved OUTSIDE jit
+    # (sketch_chunked) and threaded here as a static arg so the jit cache
+    # is keyed on it (ADVICE r3).
 
     def _step_cand(block, thr, overflow):
         """Hash one block, threshold-filter, compact to the per-step
-        candidate budget.  Shared by both group-body layouts so they stay
-        bitwise-equal by construction."""
+        candidate budget."""
         h = _hash_rows(block, k, impl=hash_impl)
         flat = (h[0].reshape(-1), h[1].reshape(-1))
         keep = u64.less(flat, thr)
         cand = u64.where(keep, flat, u64.inf_like(keep.shape))
-        # Widest levels via cheap min-extraction (opt-in — survivor density
-        # is low here, the warmup head guarantees a warm threshold);
-        # sort-based tree levels finish the job.
-        while cand[0].size > min_floor:
-            cand, of = _min_level(cand)
-            overflow = overflow | of
         cap = cap0  # first (widest) level may keep fewer per row — the
         # sort cost is unchanged but every later level halves
         while cand[0].size > 2 * CAND_BUDGET:
@@ -482,17 +403,6 @@ def _sketch_group_merged(blocks: jax.Array, k: int, s: int,
             overflow = overflow | of
             cap = TREE_CAP
         return cand, overflow
-
-    def _step_cand_width() -> int:
-        """Static output width of _step_cand (mirrors its while loops)."""
-        c = g * (w - k + 1)
-        while c > min_floor:
-            c = MIN_KEEP * -(-c // MIN_GROUP)
-        cap = cap0
-        while c > 2 * CAND_BUDGET:
-            c = cap * -(-c // TREE_WIDTH)
-            cap = TREE_CAP
-        return c
 
     def make_group_body(m: int):
         """Group body over m blocks (m = MERGE_EVERY for the full-group
@@ -537,31 +447,7 @@ def _sketch_group_merged(blocks: jax.Array, k: int, s: int,
                    jnp.concatenate([c[1] for c in cands]))
             return finish(carry, group, cat, overflow)
 
-        def group_body_scan(carry, group):
-            # Inner lax.scan over the group's blocks: per-step working set
-            # is ONE block (like the flat per-step scan — the m-unrolled
-            # body measured ~1.8x slower on hash+threshold, docs/DESIGN.md
-            # r3s2); compacted candidates land in a fixed carry buffer via
-            # dynamic_update_slice (never scan ys — bulk ys emission
-            # measured +62 ms on this shape).
-            thr = (carry[0][s - 1], carry[1][s - 1])
-            p = _step_cand_width()
-            offs = jnp.arange(m, dtype=jnp.int32) * p
-
-            def inner(st, xs):
-                bh, bl, of = st
-                block, off = xs
-                cand, of = _step_cand(block, thr, of)
-                bh = lax.dynamic_update_slice(bh, cand[0], (off,))
-                bl = lax.dynamic_update_slice(bl, cand[1], (off,))
-                return (bh, bl, of), None
-
-            buf = u64.inf_like((m * p,))
-            (bh, bl, overflow), _ = lax.scan(
-                inner, (buf[0], buf[1], jnp.bool_(False)), (group, offs))
-            return finish(carry, group, (bh, bl), overflow)
-
-        return group_body_scan if body_kind == "scan" else group_body_unroll
+        return group_body_unroll
 
     q, r = divmod(tail.shape[0], MERGE_EVERY)
     out = warm

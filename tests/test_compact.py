@@ -407,3 +407,41 @@ def test_collision_bias_at_production_s():
     sh_cmp, j_cmp = mash(ca, cb)
     assert abs(j_raw - j_cmp) <= 2e-3, (j_raw, j_cmp)
     assert abs(sh_raw - sh_cmp) <= 20, (sh_raw, sh_cmp)
+
+
+def test_cardinalities_vectorized_matches_scalar(raw_index):
+    """The r4 vectorized cardinalities() must be bit-identical to the
+    per-genome scalar estimators it replaced (kmv_cardinality for u64
+    indexes; the decode-then-CDF loop for compact), across <s / ==s /
+    empty rows."""
+    from miekki_tpu.oracle.compare import kmv_cardinality
+
+    idx, _ = raw_index
+    s = idx.params.s
+    # add edge rows: empty, single-element, tiny
+    extra = [np.array([], np.uint64),
+             np.array([123456789], np.uint64),
+             np.sort(_rand_u64(np.random.default_rng(3), 5))]
+    sketches = [idx.sketch_u64(i) for i in range(len(idx))] + extra
+    names = idx.names + ["e0", "e1", "e2"]
+    big = SketchIndex.from_sketches(sketches, names, idx.params)
+
+    got = big.cardinalities()
+    want = np.array([kmv_cardinality(big.sketch_u64(i), s)
+                     for i in range(len(big))])
+    np.testing.assert_array_equal(got, want)
+
+    cmp_idx = big.to_compact()
+    got_c = cmp_idx.cardinalities()
+    want_c = np.empty(len(cmp_idx), np.float64)
+    for i in range(len(cmp_idx)):
+        codes = cmp_idx.hi[i][~((cmp_idx.hi[i] == 0xFFFFFFFF)
+                                & (cmp_idx.lo[i] == 0xFFFFFFFF))]
+        v = C.decode_approx(codes)
+        j = len(v)
+        if j < 2:
+            want_c[i] = float(j)
+        else:
+            q = float(v[-1]) / 2.0 ** 64
+            want_c[i] = j / max(2.0 * q - q * q, 1e-300) - 1.0
+    np.testing.assert_array_equal(got_c, want_c)

@@ -7,10 +7,6 @@ import os
 import subprocess
 import sys
 
-import pytest
-
-
-@pytest.mark.timeout(240)
 def test_two_process_ring_all_vs_all():
     tool = os.path.join(os.path.dirname(__file__), "..", "tools",
                         "multiprocess_ring_test.py")
@@ -25,7 +21,6 @@ def test_two_process_ring_all_vs_all():
     assert "ALL PROCESSES OK" in out.stdout
 
 
-@pytest.mark.timeout(400)
 def test_fault_injection_resume():
     """Kill process 1 mid-run; restart; manifest resume must reproduce the
     bitwise-identical matrix (SURVEY.md §5; VERDICT r1 next-round #8)."""

@@ -190,12 +190,9 @@ def test_merge_strategies_equivalent(monkeypatch, strategy):
     assert np.array_equal(got, want), strategy
 
 
-@pytest.mark.parametrize("group_body", ["unroll", "scan"])
-def test_group_body_layouts_equivalent(group_body):
-    """Both group-merged inner-loop layouts (python-unrolled vs inner
-    lax.scan with a dynamic_update_slice candidate buffer) must be
-    bitwise-equal to the oracle, including the remainder-group path and
-    invalid-code resets."""
+def test_group_merged_path_oracle_parity():
+    """The group-merged tree path must be bitwise-equal to the oracle,
+    including the remainder-group path and invalid-code resets."""
     import numpy as np
     import jax.numpy as jnp
     from miekki_tpu.ops import sketch as S
@@ -210,13 +207,13 @@ def test_group_body_layouts_equivalent(group_body):
     rows = S.bucketed_chunk_codes(codes, k, 2048)
     # group=1 → many narrow steps → warmup + full groups + remainder group
     hi, lo = S.sketch_chunked(jnp.asarray(rows), k, s, group=1,
-                              strategy="tree", group_body=group_body)
+                              strategy="tree")
     from miekki_tpu.ops import u64
 
     got = u64.join(np.asarray(hi), np.asarray(lo))
     got = got[got != np.uint64(0xFFFFFFFFFFFFFFFF)]
     want = np.unique(O.canonical_hashes(codes, k))[:s]
-    assert np.array_equal(got, want), group_body
+    assert np.array_equal(got, want)
 
 
 def test_merge_tree_repetitive_genome(monkeypatch):
@@ -340,78 +337,19 @@ def test_group_merge_gate_and_remainder_sizes():
         assert np.array_equal(run("tree"), run("sort")), n_steps
 
 
-class TestMinLevel:
-    """_min_level: cheap bottom-4-distinct-of-8 compaction used on the
-    widest group-path levels; must keep every needed value or flag
-    overflow (exact-with-fallback contract, same as _tree_level)."""
-
-    def _join(self, pair):
-        from miekki_tpu.ops import u64
-        return u64.join(np.asarray(pair[0]), np.asarray(pair[1]))
-
-    def test_keeps_all_distinct_when_sparse(self):
-        import jax.numpy as jnp
-        from miekki_tpu.ops import sketch as S, u64
-        rng = np.random.default_rng(0)
-        c = 1 << 12
-        vals = np.full(c, np.uint64(0xFFFFFFFFFFFFFFFF))
-        # <= 4 distinct survivors per stride group of 8 → no overflow
-        w = c // S.MIN_GROUP
-        for g in range(0, w, 3):
-            for j in rng.choice(S.MIN_GROUP, size=rng.integers(0, 5),
-                                replace=False):
-                vals[j * w + g] = rng.integers(0, 1 << 62, dtype=np.uint64)
-        hi, lo = u64.split(vals)
-        out, ov = S._min_level((jnp.asarray(hi), jnp.asarray(lo)))
-        assert not bool(ov)
-        got = self._join(out)
-        finite = np.uint64(0xFFFFFFFFFFFFFFFF)
-        assert set(got[got != finite]) == set(vals[vals != finite])
-
-    def test_duplicates_do_not_overflow(self):
-        """8 copies of one value in a group is 1 distinct → kept once."""
-        import jax.numpy as jnp
-        from miekki_tpu.ops import sketch as S, u64
-        c = 64
-        vals = np.full(c, np.uint64(0xFFFFFFFFFFFFFFFF))
-        w = c // S.MIN_GROUP
-        for j in range(S.MIN_GROUP):
-            vals[j * w] = np.uint64(12345)
-        hi, lo = u64.split(vals)
-        out, ov = S._min_level((jnp.asarray(hi), jnp.asarray(lo)))
-        assert not bool(ov)
-        got = self._join(out)
-        assert (got == np.uint64(12345)).sum() >= 1
-        assert set(got[got != np.uint64(0xFFFFFFFFFFFFFFFF)]) == {np.uint64(12345)}
-
-    def test_overflow_on_five_distinct(self):
-        import jax.numpy as jnp
-        from miekki_tpu.ops import sketch as S, u64
-        c = 64
-        vals = np.full(c, np.uint64(0xFFFFFFFFFFFFFFFF))
-        w = c // S.MIN_GROUP
-        for j in range(5):  # 5 distinct in stride group 0
-            vals[j * w] = np.uint64(100 + j)
-        hi, lo = u64.split(vals)
-        _, ov = S._min_level((jnp.asarray(hi), jnp.asarray(lo)))
-        assert bool(ov)
-
-
-def test_group_merge_min_levels_active(monkeypatch):
-    """End-to-end group-path parity WITH _min_level firing: the production
-    floor (64K lanes) is far above CI widths, so lower it to force several
-    min-extraction levels, including on input dense enough to overflow
-    them (→ exact group fallback).  Must stay bitwise-equal to sort."""
+def test_group_merge_dense_overflow_parity():
+    """End-to-end group-path parity on input dense enough to overflow the
+    tree compaction caps (→ exact group fallback) and on sparse input.
+    Must stay bitwise-equal to the branch-free sort strategy."""
     import jax.numpy as jnp
     from miekki_tpu.ops import sketch as S, u64
 
-    monkeypatch.setattr(S, "MIN_LEVEL_FLOOR", 64)
     rng = np.random.default_rng(1234)
-    k, s, w = 21, 150, 137 + 20  # odd width → min-level pad path too
+    k, s, w = 21, 150, 137 + 20  # odd width → pad paths too
     for dense in (False, True):
         n = 2 * (S.WARMUP_STEPS + 2 * S.MERGE_EVERY + 3)
         if dense:
-            # few distinct k-mers → survivors cluster → min-level overflow
+            # few distinct k-mers → survivors cluster → cap overflow
             unit = rng.integers(0, 4, size=24, dtype=np.int64)
             row = np.tile(unit, w // 24 + 1)[:w].astype(np.uint8)
             rows = np.tile(row, (n, 1))
