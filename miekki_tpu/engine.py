@@ -292,6 +292,7 @@ def dist_tiles(
     index_b: Optional[SketchIndex] = None,
     tile: int = DEFAULT_TILE,
     skip_tiles: Optional[set] = None,
+    _amb_out: Optional[list] = None,
 ):
     """Tile-level comparison generator (SURVEY.md §3.2): yields
     ``(bi, bj, gi, gj, shared, union, inter)`` per tile, where gi/gj are
@@ -299,7 +300,15 @@ def dist_tiles(
     for self-comparison) in row-major order, and shared/union/inter are the
     matching int count arrays.  This is the vectorized core under dist_iter
     and the TSV writers — per-pair Python work at 10k-genome scale (50M
-    pairs) was the host wall (VERDICT r1 weak #3)."""
+    pairs) was the host wall (VERDICT r1 weak #3).
+
+    _amb_out (private; used by dist_counts_matrix): when a list is passed
+    and the MXU impl is active, per-tile ambiguity resolution is DEFERRED —
+    yielded `shared` holds the lb bracket, and (gi_amb, gj_amb) global
+    coordinate arrays of every lb != ub pair are appended to the list for
+    one batched end-of-sweep resolution.  Per-tile resolve dispatches
+    enqueue behind the pipelined next-tile passes and stalled the sustained
+    path at 360-408k pairs/s (VERDICT r3 #3)."""
     self_compare = index_b is None
     if index_b is not None:
         index_a.params.validate_compatible(index_b.params)
@@ -430,10 +439,17 @@ def dist_tiles(
                             counts["inter_full"])
 
     def finish(bi: int, bj: int, handle):
+        amb_flat = None
         if mxu:
             from .ops import mxu_intersect as _mxu
 
-            counts = _mxu.tile_counts_mxu_finish(handle)
+            if _amb_out is None:
+                counts = _mxu.tile_counts_mxu_finish(handle)
+            else:
+                counts, amb_i, amb_j = \
+                    _mxu.tile_counts_mxu_finish_deferred(handle)
+                if amb_i.size:
+                    amb_flat = amb_i * tile + amb_j
             shared = counts["shared_in_x"].ravel()
             union = counts["union_size"].ravel()
             inter = counts["inter_full"].ravel()
@@ -450,6 +466,10 @@ def dist_tiles(
         mask = (gi < n_a) & (gj < n_b)
         if self_compare:
             mask &= gj > gi
+        if amb_flat is not None:
+            keep = mask[amb_flat]
+            if keep.any():
+                _amb_out.append((gi[amb_flat[keep]], gj[amb_flat[keep]]))
         sel = np.flatnonzero(mask)
         return (bi, bj, gi[sel], gj[sel],
                 shared[sel], union[sel], inter[sel])
@@ -468,6 +488,58 @@ def dist_tiles(
                 yield finish(*pending.popleft())
     while pending:
         yield finish(*pending.popleft())
+
+
+def dist_counts_matrix(
+    index_a: SketchIndex,
+    index_b: Optional[SketchIndex] = None,
+    tile: int = DEFAULT_TILE,
+    progress=None,
+) -> dict:
+    """Full count matrices for a comparison job: {"shared", "union",
+    "inter"} int32 [n_a, n_b] (upper triangle + diagonal filled for
+    self-comparison; mirror for the lower triangle if needed).
+
+    Unlike looping dist_tiles directly, the MXU path defers ambiguity
+    resolution across ALL tiles (see dist_tiles _amb_out): each tile's
+    finish is one packed pull, fully overlapped by the pipelined next
+    dispatches, and the collected lb != ub pairs resolve at the end in
+    large batched dispatches against the host sketch table
+    (mxu_intersect.resolve_pairs_host).  progress(done, total) is called
+    after each tile."""
+    self_compare = index_b is None
+    idx_b = index_a if self_compare else index_b
+    n_a, n_b = len(index_a), len(idx_b)
+    s = index_a.params.s
+    shared = np.zeros((n_a, n_b), np.int32)
+    union = np.zeros((n_a, n_b), np.int32)
+    inter = np.zeros((n_a, n_b), np.int32)
+    amb: list = []
+    t = min(tile, max(n_a, n_b, 1))
+    nb_a, nb_b = -(-n_a // t), -(-n_b // t)
+    total = nb_a * (nb_a + 1) // 2 if self_compare else nb_a * nb_b
+    done = 0
+    for _bi, _bj, gi, gj, sh, un, it in dist_tiles(
+            index_a, index_b, tile=tile, _amb_out=amb):
+        shared[gi, gj] = sh
+        union[gi, gj] = un
+        inter[gi, gj] = it
+        done += 1
+        if progress is not None:
+            progress(done, total)
+    if amb:
+        from .ops import mxu_intersect as _mxu
+
+        ai = np.concatenate([a for a, _ in amb])
+        aj = np.concatenate([b for _, b in amb])
+        shared[ai, aj] = _mxu.resolve_pairs_host(
+            (index_a.hi, index_a.lo), (idx_b.hi, idx_b.lo), ai, aj, s)
+    if self_compare:
+        sizes = index_a.sizes().astype(np.int32)
+        np.fill_diagonal(shared, np.minimum(sizes, s))
+        np.fill_diagonal(union, np.minimum(sizes, s))
+        np.fill_diagonal(inter, sizes)
+    return {"shared": shared, "union": union, "inter": inter}
 
 
 def dist_iter(

@@ -102,6 +102,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(str(so))
     except OSError:
         return None
+    if not hasattr(lib, "mio_resolve_pairs"):
+        # Stale pre-r4 build: rebuild once to pick up the resolve entry
+        # point (the IO surface is unchanged either way).
+        if _try_build(so.parent):
+            try:
+                lib = ctypes.CDLL(str(so))
+            except OSError:
+                return None
     lib.mio_parse_file.argtypes = [ctypes.c_char_p, ctypes.POINTER(_MioResult)]
     lib.mio_parse_file.restype = ctypes.c_int
     lib.mio_free.argtypes = [ctypes.POINTER(_MioResult)]
@@ -113,8 +121,46 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.mio_next_batch.restype = ctypes.c_int
     lib.mio_close.argtypes = [ctypes.c_void_p]
     lib.mio_close.restype = None
+    try:
+        u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.mio_resolve_pairs.argtypes = [
+            u32p, u32p, u32p, u32p, i64p, i64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i32p,
+        ]
+        lib.mio_resolve_pairs.restype = None
+    except AttributeError:  # stale .so from before r4 — IO still works
+        pass
     _lib = lib
     return _lib
+
+
+def has_resolve() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "mio_resolve_pairs")
+
+
+def resolve_pairs_native(a_hi, a_lo, b_hi, b_lo, pi, pj, s: int) -> np.ndarray:
+    """Threaded two-pointer exact shared_in_x for (row pi[k], col pj[k])
+    sketch pairs — bit-identical to ops.intersect.pair_counts_merge
+    (parity-tested).  Tables are [N, sp] uint32 planes of sorted
+    UINT64_MAX-sentinel sketches."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mio_resolve_pairs"):
+        raise RuntimeError("native resolve not available (make -C native)")
+    a_hi = np.ascontiguousarray(a_hi, np.uint32)
+    a_lo = np.ascontiguousarray(a_lo, np.uint32)
+    b_hi = np.ascontiguousarray(b_hi, np.uint32)
+    b_lo = np.ascontiguousarray(b_lo, np.uint32)
+    pi = np.ascontiguousarray(pi, np.int64)
+    pj = np.ascontiguousarray(pj, np.int64)
+    out = np.empty(pi.size, np.int32)
+    lib.mio_resolve_pairs(a_hi, a_lo, b_hi, b_lo, pi, pj,
+                          np.int64(pi.size), np.int64(a_hi.shape[1]),
+                          np.int64(b_hi.shape[1]), np.int64(s), out)
+    return out
 
 
 def available() -> bool:

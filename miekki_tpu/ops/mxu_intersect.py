@@ -420,9 +420,31 @@ def tile_counts_mxu_finish(pending):
     """Synchronize a `tile_counts_mxu_start` handle and run the host
     epilogue (overflow fallback, ambiguity resolution).  Bitwise-identical
     to the fused `tile_counts_mxu_exact` call by construction."""
+    res, amb_i, amb_j = tile_counts_mxu_finish_deferred(pending)
+    if amb_i.size:
+        _, rows, cols, s = pending
+        res["shared_in_x"][amb_i, amb_j] = resolve_pairs_host(
+            rows, cols, amb_i, amb_j, s)
+    return res
+
+
+def tile_counts_mxu_finish_deferred(pending):
+    """Synchronize a `tile_counts_mxu_start` handle WITHOUT resolving
+    ambiguous pairs: returns (res, amb_i, amb_j) where res["shared_in_x"]
+    holds the lb bracket and the (amb_i, amb_j) tile-local coordinates
+    mark pairs with lb != ub.  Callers that sweep many tiles (engine
+    dist_counts_matrix) collect the ambiguity across ALL tiles and resolve
+    it in a few large batched dispatches at the end — per-tile resolve
+    dispatches enqueue BEHIND the already-in-flight next tile passes, so
+    each one stalled the pipeline by up to a full tile pass (r3 sustained
+    360-408k pairs/s vs 760-818k through the bare dispatch).
+
+    On band overflow (legacy mode only; impossible in full mode) the tile
+    falls back to the exact traceable kernel — no ambiguity to defer."""
     flat_dev, rows, cols, s = pending
     ti = rows[0].shape[0]
     tj = cols[0].shape[0]
+    empty = np.zeros(0, np.int64)
     flat = np.asarray(flat_dev)
     if bool(flat[-1]):  # overflow
         # _intersect_impl() would return "mxu" here (that's how we were
@@ -430,8 +452,9 @@ def tile_counts_mxu_finish(pending):
         # _tile_counts has no mxu branch and its else-branch is the
         # scalarized-gather searchsorted path, pathological on TPU.
         from .intersect import _tile_counts, _intersect_impl_traced
-        return jax.tree.map(
+        res = jax.tree.map(
             np.asarray, _tile_counts(rows, cols, s, _intersect_impl_traced()))
+        return res, empty, empty
     m = ti * tj
     lb = flat[:m].reshape(ti, tj)
     ub = flat[m:2 * m].reshape(ti, tj)
@@ -445,54 +468,81 @@ def tile_counts_mxu_finish(pending):
         "shared_in_x": lb.copy(),
     }
     amb_i, amb_j = np.nonzero(lb != ub)
-    if amb_i.size:
-        # Batched lax.sort resolution: ONE dispatch for thousands of pairs.
-        # Measured on the real 10k-family tile (3243 ambiguous pairs,
-        # s=10k): 194 ms vs 3.9 s for 128-pair-chunked bitonic dispatches
-        # (the bitonic network builds [pairs, 32768]-wide stage temps —
-        # 4096 pairs measured 60 GB of HLO temps, HBM OOM — while one
-        # batched sort is a single [pairs, 2s] buffer).  RESOLVE_CHUNK
-        # bounds the sort buffer at ~1.3 GB.
-        #
-        # First try PREFIX resolution at width w < s: sort only the first w
-        # elements of each sketch.  Exactness certificate per pair: with
-        # mcap = min(A[w-1], B[w-1]) (u64; INF when a side fits entirely),
-        # every element ≤ mcap of either sketch is inside its prefix, so if
-        # the prefix merge holds ≥ s distinct values ≤ mcap, all union
-        # ranks ≤ s are complete and the count is exact.  Pairs failing the
-        # certificate (near-clone pairs whose shared mass pushes the s-th
-        # distinct past the caps) re-resolve at full width.  On the family
-        # tile this trims the epilogue sort from [P, 2s] to [P, 2w].
-        RESOLVE_CHUNK = 8192
-        w = min(s, _resolve_prefix_width(s))
-        k = amb_i.size
-        fixed_all = np.empty(k, np.int32)
-        ok_all = np.empty(k, bool)
-        for o in range(0, k, RESOLVE_CHUNK):
-            ci = amb_i[o:o + RESOLVE_CHUNK]
-            cj = amb_j[o:o + RESOLVE_CHUNK]
-            kc = ci.size
-            kp = max(8, 1 << (kc - 1).bit_length())  # pow2 bounds compiles
-            pi = np.pad(ci, (0, kp - kc))
-            pj = np.pad(cj, (0, kp - kc))
-            a = (rows[0][pi, :w], rows[1][pi, :w])
-            b = (cols[0][pj, :w], cols[1][pj, :w])
-            packed = np.asarray(_resolve_pairs_prefix(a, b, s))
-            fixed_all[o:o + kc] = packed[0][:kc]
-            ok_all[o:o + kc] = packed[1][:kc].astype(bool)
-        bad = np.flatnonzero(~ok_all)
-        for o in range(0, bad.size, RESOLVE_CHUNK):
-            sel = bad[o:o + RESOLVE_CHUNK]
-            kc = sel.size
-            kp = max(8, 1 << (kc - 1).bit_length())
-            pi = np.pad(amb_i[sel], (0, kp - kc))
-            pj = np.pad(amb_j[sel], (0, kp - kc))
-            a = (rows[0][pi], rows[1][pi])
-            b = (cols[0][pj], cols[1][pj])
-            fixed_all[sel] = np.asarray(
-                _resolve_pairs_sorted(a, b, s))[:kc]
-        res["shared_in_x"][amb_i, amb_j] = fixed_all
-    return res
+    return res, amb_i, amb_j
+
+
+def resolve_pairs_host(rows: u64.Pair, cols: u64.Pair,
+                       amb_i: np.ndarray, amb_j: np.ndarray,
+                       s: int) -> np.ndarray:
+    """Exact shared_in_x for the listed (row i, col j) pairs — the host
+    epilogue shared by the host-orchestrated tile path
+    (tile_counts_mxu_finish) and the traced-ring path
+    (parallel.allvsall mxu ring: lb/ub come back as ring outputs, the
+    few lb != ub pairs resolve here after un-rotation).
+
+    Batched lax.sort resolution: ONE dispatch for thousands of pairs.
+    Measured on the real 10k-family tile (3243 ambiguous pairs,
+    s=10k): 194 ms vs 3.9 s for 128-pair-chunked bitonic dispatches
+    (the bitonic network builds [pairs, 32768]-wide stage temps —
+    4096 pairs measured 60 GB of HLO temps, HBM OOM — while one
+    batched sort is a single [pairs, 2s] buffer).  RESOLVE_CHUNK
+    bounds the sort buffer at ~1.3 GB.
+
+    First try PREFIX resolution at width w < s: sort only the first w
+    elements of each sketch.  Exactness certificate per pair: with
+    mcap = min(A[w-1], B[w-1]) (u64; INF when a side fits entirely),
+    every element ≤ mcap of either sketch is inside its prefix, so if
+    the prefix merge holds ≥ s distinct values ≤ mcap, all union
+    ranks ≤ s are complete and the count is exact.  Pairs failing the
+    certificate (near-clone pairs whose shared mass pushes the s-th
+    distinct past the caps) re-resolve at full width.  On the family
+    tile this trims the epilogue sort from [P, 2s] to [P, 2w].
+
+    r4: when the native library is built, the whole epilogue is ONE
+    threaded C++ two-pointer pass instead (native/miekki_io.cpp
+    mio_resolve_pairs) — ~0.1 s for 10k pairs at s=10k where the batched
+    device sorts measured 45 s on the tunneled chip; bit-identical
+    (tests/test_native_io.py).  Disable with MIEKKI_NATIVE_RESOLVE=0."""
+    import os as _os2
+
+    if _os2.environ.get("MIEKKI_NATIVE_RESOLVE", "1") != "0":
+        from ..io import native as _native
+
+        if _native.has_resolve():
+            return _native.resolve_pairs_native(
+                np.asarray(rows[0]), np.asarray(rows[1]),
+                np.asarray(cols[0]), np.asarray(cols[1]),
+                np.asarray(amb_i, np.int64), np.asarray(amb_j, np.int64), s)
+    RESOLVE_CHUNK = 8192
+    sp = rows[0].shape[-1]
+    w = min(sp, min(s, _resolve_prefix_width(s)))
+    k = amb_i.size
+    fixed_all = np.empty(k, np.int32)
+    ok_all = np.empty(k, bool)
+    for o in range(0, k, RESOLVE_CHUNK):
+        ci = amb_i[o:o + RESOLVE_CHUNK]
+        cj = amb_j[o:o + RESOLVE_CHUNK]
+        kc = ci.size
+        kp = max(8, 1 << (kc - 1).bit_length())  # pow2 bounds compiles
+        pi = np.pad(ci, (0, kp - kc))
+        pj = np.pad(cj, (0, kp - kc))
+        a = (rows[0][pi, :w], rows[1][pi, :w])
+        b = (cols[0][pj, :w], cols[1][pj, :w])
+        packed = np.asarray(_resolve_pairs_prefix(a, b, s))
+        fixed_all[o:o + kc] = packed[0][:kc]
+        ok_all[o:o + kc] = packed[1][:kc].astype(bool)
+    bad = np.flatnonzero(~ok_all)
+    for o in range(0, bad.size, RESOLVE_CHUNK):
+        sel = bad[o:o + RESOLVE_CHUNK]
+        kc = sel.size
+        kp = max(8, 1 << (kc - 1).bit_length())
+        pi = np.pad(amb_i[sel], (0, kp - kc))
+        pj = np.pad(amb_j[sel], (0, kp - kc))
+        a = (rows[0][pi], rows[1][pi])
+        b = (cols[0][pj], cols[1][pj])
+        fixed_all[sel] = np.asarray(
+            _resolve_pairs_sorted(a, b, s))[:kc]
+    return fixed_all
 
 
 def _resolve_prefix_width(s: int) -> int:

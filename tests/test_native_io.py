@@ -3,6 +3,7 @@
 Skipped when native/libmiekki_io.so is not built (`make -C native`)."""
 
 import gzip
+import os
 
 import numpy as np
 import pytest
@@ -283,3 +284,48 @@ class TestStreaming:
         monkeypatch.setattr(N, "_lib_checked", True)
         got_py = engine.screen(idx, p, flat=4096)
         assert got_native == got_py
+
+
+def test_native_resolve_pairs_parity():
+    """mio_resolve_pairs (threaded C++ two-pointer) must be bit-identical
+    to pair_counts_merge AND to the device resolve path it replaces
+    (resolve_pairs_host with MIEKKI_NATIVE_RESOLVE=0), including short
+    (INF-padded) sketches and self-pairs."""
+    import jax.numpy as jnp
+
+    from miekki_tpu.io import native
+    from miekki_tpu.ops import mxu_intersect as M
+    from miekki_tpu.ops.intersect import pair_counts_merge
+
+    if not native.has_resolve():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(3)
+    s, n, p = 300, 60, 400
+    pool = np.unique(rng.integers(1, 2**64 - 1, size=4 * s, dtype=np.uint64))
+    tbl = np.full((n, s), np.uint64(0xFFFFFFFFFFFFFFFF))
+    for i in range(n):
+        m = int(rng.integers(2, s + 1))
+        tbl[i, :m] = np.sort(rng.choice(pool, size=m, replace=False))
+    hi = (tbl >> np.uint64(32)).astype(np.uint32)
+    lo = (tbl & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    pi = rng.integers(0, n, p)
+    pj = rng.integers(0, n, p)
+    pi[:5] = pj[:5]  # self-pairs
+    got = native.resolve_pairs_native(hi, lo, hi, lo, pi, pj, s)
+    want = np.array([
+        int(pair_counts_merge((jnp.asarray(hi[a]), jnp.asarray(lo[a])),
+                              (jnp.asarray(hi[b]), jnp.asarray(lo[b])),
+                              s)["shared_in_x"])
+        for a, b in zip(pi[:64], pj[:64])])
+    np.testing.assert_array_equal(got[:64], want)
+    # full-path equivalence: resolve_pairs_host native vs device
+    old = os.environ.get("MIEKKI_NATIVE_RESOLVE")
+    try:
+        os.environ["MIEKKI_NATIVE_RESOLVE"] = "0"
+        dev = M.resolve_pairs_host((hi, lo), (hi, lo), pi, pj, s)
+    finally:
+        if old is None:
+            os.environ.pop("MIEKKI_NATIVE_RESOLVE", None)
+        else:
+            os.environ["MIEKKI_NATIVE_RESOLVE"] = old
+    np.testing.assert_array_equal(got, dev)

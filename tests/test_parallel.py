@@ -166,3 +166,71 @@ def test_rect_ring_does_na_x_nb_tile_work(small_index, monkeypatch):
         assert int(counts["shared"][r["i"], r["j"]]) == r["shared"]
         assert int(counts["union"][r["i"], r["j"]]) == r["union"]
         assert int(counts["inter"][r["i"], r["j"]]) >= r["shared"]
+
+
+@pytest.fixture(scope="module")
+def family_index():
+    """Heavy-sharing synthetic sketches: guarantees lb != ub pairs so the
+    MXU ring's host-side ambiguity resolution is actually exercised."""
+    rng = np.random.default_rng(0)
+    s, n = 64, 16
+    pool = np.unique(rng.integers(1, 2**63, size=8 * s, dtype=np.uint64))[: 4 * s]
+    sketches = []
+    for _ in range(n):
+        sel = rng.choice(4 * s, size=s + 20, replace=False)
+        sketches.append(np.unique(pool[sel])[:s])
+    params = SketchParams(k=21, s=s)
+    return SketchIndex.from_sketches(sketches, [f"g{i}" for i in range(n)],
+                                     params)
+
+
+def test_mxu_ring_matches_default(family_index, monkeypatch):
+    """dist_sharded through the traced MXU stream-pass ring (VERDICT r3 #2)
+    must be bit-identical to the default traceable kernel on the 8-device
+    mesh, including pairs whose lb/ub brackets disagree (resolved host-side
+    after un-rotation)."""
+    from miekki_tpu.parallel.allvsall import ring_rect_counts_mxu
+
+    idx = family_index
+    mesh = local_mesh(axis_names=(DB_AXIS,))
+    ref = dist_sharded(idx, mesh)
+    monkeypatch.setenv("MIEKKI_INTERSECT", "mxu")
+    got = dist_sharded(idx, mesh, mxu_tile=4)
+    for k in ("shared", "union", "inter"):
+        assert np.array_equal(ref[k], got[k]), k
+    # the fixture must actually produce ambiguous pairs, else this test
+    # proves nothing about the host epilogue
+    lb, ub, _ = ring_rect_counts_mxu(
+        jnp.asarray(idx.hi), jnp.asarray(idx.lo),
+        jnp.asarray(idx.hi), jnp.asarray(idx.lo),
+        s=idx.params.s, mesh=mesh, tile=4)
+    assert int((np.asarray(lb) != np.asarray(ub)).sum()) > 0
+
+
+def test_mxu_ring_rect_and_compact(family_index, monkeypatch):
+    idx = family_index
+    mesh = local_mesh(axis_names=(DB_AXIS,))
+    a = SketchIndex(idx.params, idx.names[:8], idx.hi[:8], idx.lo[:8])
+    b = SketchIndex(idx.params, idx.names[8:], idx.hi[8:], idx.lo[8:])
+    ref_rect = dist_sharded(a, mesh, index_b=b)
+    cidx = idx.to_compact()
+    ref_cmp = dist_sharded(cidx, mesh)
+    monkeypatch.setenv("MIEKKI_INTERSECT", "mxu")
+    got_rect = dist_sharded(a, mesh, index_b=b, mxu_tile=4)
+    got_cmp = dist_sharded(cidx, mesh, mxu_tile=4)
+    for k in ("shared", "union", "inter"):
+        assert np.array_equal(ref_rect[k], got_rect[k]), k
+        assert np.array_equal(ref_cmp[k], got_cmp[k]), k
+
+
+def test_mxu_ring_uneven_tile_padding(family_index, monkeypatch):
+    """Block sizes that are NOT multiples of the mxu sub-tile must pad
+    internally and still match (16 genomes / 8 devices = 2 rows per device
+    with tile=3)."""
+    idx = family_index
+    mesh = local_mesh(axis_names=(DB_AXIS,))
+    ref = dist_sharded(idx, mesh)
+    monkeypatch.setenv("MIEKKI_INTERSECT", "mxu")
+    got = dist_sharded(idx, mesh, mxu_tile=3)
+    for k in ("shared", "union", "inter"):
+        assert np.array_equal(ref[k], got[k]), k

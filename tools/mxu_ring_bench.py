@@ -1,0 +1,122 @@
+"""Ring-path MXU benchmark (VERDICT r3 #2 done-criterion): dist_sharded
+through the traced MXU stream-pass ring on a 1-device mesh vs (a) the
+host-orchestrated MXU tile dispatch and (b) the pallas traced ring.
+
+Family-structured sketches (8% conserved root — the config-3/5 workload
+shape, same generator rationale as bench.py bench_pairs).  Measurement
+discipline per docs/DESIGN.md: host-forced sync via np.asarray, medians,
+distinct alternating inputs where pipelining applies.
+
+Usage: python tools/mxu_ring_bench.py [N] [s] [tile]
+Writes artifacts/mxu_ring_bench.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from miekki_tpu.utils import compile_cache
+
+compile_cache.enable()
+
+import jax
+import jax.numpy as jnp
+
+from miekki_tpu.index.store import SketchIndex
+from miekki_tpu.params import SketchParams
+from miekki_tpu.parallel import dist_sharded, local_mesh
+from miekki_tpu.parallel.mesh import DB_AXIS
+
+
+def family_index(n: int, s: int, seed: int = 1) -> SketchIndex:
+    @jax.jit
+    def gen(key):
+        kr, kp, km = jax.random.split(key, 3)
+        root_hi = jax.random.bits(kr, (1, s), jnp.uint32) >> 1
+        root_lo = jax.random.bits(jax.random.fold_in(kr, 1), (1, s),
+                                  jnp.uint32)
+        keep = jax.random.uniform(km, (n, s)) < 0.08
+        priv_hi = jax.random.bits(kp, (n, s), jnp.uint32) >> 1
+        priv_lo = jax.random.bits(jax.random.fold_in(kp, 1), (n, s),
+                                  jnp.uint32)
+        hi = jnp.where(keep, root_hi, priv_hi)
+        lo = jnp.where(keep, root_lo, priv_lo)
+        return jax.lax.sort((hi, lo), dimension=-1, num_keys=2)
+
+    hi, lo = gen(jax.random.PRNGKey(seed))
+    hi = np.asarray(hi)
+    lo = np.asarray(lo)
+    params = SketchParams(k=31, s=s)
+    return SketchIndex(params, [f"g{i}" for i in range(n)], hi, lo)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    s = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+    tile = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    idx = family_index(n, s)
+    mesh = local_mesh(shape=(1,), axis_names=(DB_AXIS,))
+    pairs = n * n
+    out = {"n": n, "s": s, "tile": tile, "pairs": pairs,
+           "backend": jax.default_backend()}
+
+    for name, env in (("ring_mxu", "mxu"), ("ring_pallas", "pallas")):
+        os.environ["MIEKKI_INTERSECT"] = env
+        res = dist_sharded(idx, mesh, mxu_tile=tile)  # warmup/compile
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = dist_sharded(idx, mesh, mxu_tile=tile)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        dt = times[len(times) // 2]
+        out[name] = {"sec": dt, "pairs_per_s": pairs / dt}
+        out.setdefault("check", {})[name] = int(res["shared"].sum())
+        print(name, out[name], flush=True)
+
+    # host-orchestrated reference: engine.dist_tiles production dispatch
+    os.environ["MIEKKI_INTERSECT"] = "mxu"
+    from miekki_tpu import engine
+
+    def run_tiles():
+        total = 0
+        tri_pairs = 0
+        for _bi, _bj, _gi, _gj, tsh, _tun, _tit in engine.dist_tiles(
+                idx, tile=tile):
+            total += int(tsh.sum())
+            tri_pairs += tsh.size
+        return total, tri_pairs
+
+    run_tiles()  # warmup
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        total, tri_pairs = run_tiles()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
+    # dist_tiles yields the upper triangle only (~half the full-matrix
+    # pair work); report its own pair count for an honest rate.
+    out["host_mxu_dispatch"] = {"sec": dt, "pairs_per_s": tri_pairs / dt,
+                                "pairs": tri_pairs, "check_tri": total}
+    print("host_mxu_dispatch", out["host_mxu_dispatch"], flush=True)
+
+    ratio = out["host_mxu_dispatch"]["pairs_per_s"] / out["ring_mxu"]["pairs_per_s"]
+    out["host_over_ring_ratio"] = ratio
+    out["ring_mxu_over_pallas"] = (out["ring_mxu"]["pairs_per_s"]
+                                   / out["ring_pallas"]["pairs_per_s"])
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "mxu_ring_bench.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"host_over_ring_ratio": ratio,
+                      "ring_mxu_over_pallas": out["ring_mxu_over_pallas"]}))
+
+
+if __name__ == "__main__":
+    main()
