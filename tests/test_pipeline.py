@@ -89,3 +89,31 @@ def test_mxu_start_finish_matches_fused(idx_pair):
         np.testing.assert_array_equal(fused[key], out1[key])
     np.testing.assert_array_equal(out2["shared_in_x"],
                                   out1["shared_in_x"].T)
+
+
+def test_device_planes_bitwise_and_match_host(monkeypatch):
+    """Builder-attached device planes (MIEKKI_KEEP_DEV=1) must equal the
+    host table exactly, and dist_counts_matrix through device-sliced
+    blocks must be bitwise-identical to the host-upload path (r4: block
+    re-upload through the ~20 MB/s tunnel was ~40% of the 10k wall)."""
+    import os
+
+    from miekki_tpu.index.store import SketchIndex
+
+    rng = np.random.default_rng(1)
+    codes = [rng.integers(0, 4, 9000).astype(np.uint8) for _ in range(13)]
+    codes.append(rng.integers(0, 4, 5).astype(np.uint8))  # shorter than k
+    params = SketchParams(k=21, s=300)
+    monkeypatch.setenv("MIEKKI_KEEP_DEV", "1")
+    idx = engine._build_index_from_codes(
+        codes, [f"g{i}" for i in range(len(codes))], params,
+        chunk=2048, batch=4)
+    assert idx.device_planes is not None
+    np.testing.assert_array_equal(np.asarray(idx.device_planes[0]), idx.hi)
+    np.testing.assert_array_equal(np.asarray(idx.device_planes[1]), idx.lo)
+    monkeypatch.setenv("MIEKKI_INTERSECT", "mxu")
+    m1 = engine.dist_counts_matrix(idx, tile=4)
+    idx2 = SketchIndex(params, idx.names, idx.hi, idx.lo)  # host-only
+    m2 = engine.dist_counts_matrix(idx2, tile=4)
+    for key in ("shared", "union", "inter"):
+        assert np.array_equal(m1[key], m2[key]), key
