@@ -1474,22 +1474,35 @@ def _as_path_list(reads_path) -> List:
     return list(reads_path)
 
 
-def screen(
-    index: SketchIndex, reads_path, flat: int = DEFAULT_READ_FLAT,
-    winner: bool = False, stats: Optional[dict] = None,
-) -> List[dict]:
-    """Containment of each DB genome's sketch in the read stream
-    (SURVEY.md §3.3): c_g = |S(g) ∩ H(reads)| / |S(g)|.
+def _screen_db_value_budget() -> int:
+    """Max flat-DB values resident on device for one screen pass.
 
-    reads_path may be one file or a list of files (hits union across all).
-    winner=True switches to winner-takes-all hit attribution (`mash screen
-    -w` analog).  When `stats` is a dict, prefilter observability is
-    written into it: n_windows, n_survivors, survivor_rate, n_batches.
-    """
+    The merge-join screen program costs ~38 B/value END TO END (measured
+    r4: 515M values compiled to 19.9 GB — the [m+n] 4-plane sort and the
+    log-doubling flag propagation hold several copies, not just the
+    8 B/value planes; 1.03G values → 23 GB).  Budget ~10% of HBM in
+    VALUES so the whole program plus read batches stays well inside.
+    MIEKKI_SCREEN_DB_VALS overrides."""
+    env = os.environ.get("MIEKKI_SCREEN_DB_VALS")
+    if env:
+        return max(1, int(env))
+    limit = 16 << 30
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit") or limit
+    except Exception:
+        pass
+    return int(limit * 0.10) // 8
+
+
+def _screen_bitmap(index: SketchIndex, reads_path, flat: int,
+                   stats: Optional[dict]):
+    """Shared screen core: stream every read batch against the flat
+    value-sorted DB, return (flat_vals, gid, hit-bitmap np.bool_)."""
     k = index.params.k
     flat_vals, gid = _flatten_db(index)
     if len(flat_vals) == 0:
-        return _screen_rows(index, np.zeros(len(index), np.int64))
+        return flat_vals, gid, np.zeros(1, np.bool_)
     db_hi, db_lo = (jnp.asarray(x) for x in
                     ((flat_vals >> np.uint64(32)).astype(np.uint32),
                      (flat_vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
@@ -1514,12 +1527,117 @@ def screen(
             n_batches=len(counters),
             survivor_rate=tot_surv / tot_windows if tot_windows else 0.0,
         )
+    return flat_vals, gid, np.asarray(acc)
+
+
+def screen(
+    index: SketchIndex, reads_path, flat: int = DEFAULT_READ_FLAT,
+    winner: bool = False, stats: Optional[dict] = None,
+) -> List[dict]:
+    """Containment of each DB genome's sketch in the read stream
+    (SURVEY.md §3.3): c_g = |S(g) ∩ H(reads)| / |S(g)|.
+
+    reads_path may be one file or a list of files (hits union across all).
+    winner=True switches to winner-takes-all hit attribution (`mash screen
+    -w` analog).  When `stats` is a dict, prefilter observability is
+    written into it: n_windows, n_survivors, survivor_rate, n_batches.
+
+    DBs whose flat planes exceed ~30% of HBM stream in GENOME SLABS
+    (r4: the 102,400-genome config-5 DB OOM'd as one resident program):
+    containment decomposes exactly by genome subsets, so plain rows are
+    bit-identical to the unslabbed pass; winner mode merges the per-slab
+    hit marks and arbitrates globally (also exact — a value's hit status
+    is per-slab-consistent because every slab's prefilter threshold is
+    that slab's own max).  Extra stats keys when slabbed: n_slabs, and
+    n_windows/n_batches reflect ONE slab's read pass (the read stream is
+    re-screened per slab; survivors are summed across slabs)."""
+    total_vals = int(index.sizes().sum())
+    budget = _screen_db_value_budget()
+    if total_vals > budget and len(index) > 1:
+        return _screen_slabbed(index, reads_path, flat, winner, stats,
+                               budget)
+    flat_vals, gid, acc = _screen_bitmap(index, reads_path, flat, stats)
+    if len(flat_vals) == 0:
+        return _screen_rows(index, np.zeros(len(index), np.int64))
     if winner:
-        hits = _hits_winner_takes_all(flat_vals, gid, np.asarray(acc),
-                                      len(index), np.asarray(index.sizes()))
+        hits = _hits_winner_takes_all(flat_vals, gid, acc, len(index),
+                                      np.asarray(index.sizes()))
     else:
-        hits = _hits_from_bitmap(flat_vals, gid, np.asarray(acc), len(index))
+        hits = _hits_from_bitmap(flat_vals, gid, acc, len(index))
     return _screen_rows(index, hits)
+
+
+def _screen_slabbed(index: SketchIndex, reads_path, flat: int, winner: bool,
+                    stats: Optional[dict], budget: int) -> List[dict]:
+    sizes = index.sizes()
+    slabs = []
+    start, acc_v = 0, 0
+    for i, v in enumerate(sizes):
+        if acc_v + int(v) > budget and i > start:
+            slabs.append((start, i))
+            start, acc_v = i, 0
+        acc_v += int(v)
+    slabs.append((start, len(index)))
+    hits = np.zeros(len(index), np.int64)
+    win_parts = []
+    agg: dict = {}
+    for i0, i1 in slabs:
+        sub = SketchIndex(index.params, index.names[i0:i1],
+                          index.hi[i0:i1], index.lo[i0:i1])
+        st: Optional[dict] = {} if stats is not None else None
+        flat_vals, gid, acc = _screen_bitmap(sub, reads_path, flat, st)
+        if st:
+            if not agg:
+                agg.update(st)
+            else:
+                agg["n_survivors"] += st["n_survivors"]
+        if len(flat_vals) == 0:
+            continue
+        if winner:
+            # per-slab hit marks propagated across equal-value runs; global
+            # arbitration happens after the loop
+            hit_first = acc[:-1]
+            first_occ = np.searchsorted(flat_vals, flat_vals, side="left")
+            win_parts.append((flat_vals, gid + i0, hit_first[first_occ]))
+        else:
+            hits[i0:i1] = _hits_from_bitmap(flat_vals, gid, acc, i1 - i0)
+    if stats is not None and agg:
+        agg["n_slabs"] = len(slabs)
+        agg["survivor_rate"] = (agg["n_survivors"]
+                                / (agg["n_windows"] * len(slabs))
+                                if agg.get("n_windows") else 0.0)
+        stats.update(agg)
+    if winner:
+        if win_parts:
+            vals = np.concatenate([v for v, _, _ in win_parts])
+            gids = np.concatenate([g for _, g, _ in win_parts])
+            hit_all = np.concatenate([h for _, _, h in win_parts])
+            hits = _winner_from_hitall(vals, gids, hit_all, len(index),
+                                       np.asarray(sizes))
+    return _screen_rows(index, hits)
+
+
+def _winner_from_hitall(vals: np.ndarray, gid: np.ndarray,
+                        hit_all: np.ndarray, n_genomes: int,
+                        sizes: np.ndarray) -> np.ndarray:
+    """Winner-takes-all arbitration from per-slot hit marks (the slabbed
+    analog of _hits_winner_takes_all, which derives the marks from a
+    first-of-run bitmap; semantics and tie-breaks identical)."""
+    order_v = np.argsort(vals, kind="stable")
+    vals = vals[order_v]
+    gid = gid[order_v]
+    hit = hit_all[order_v]
+    plain = np.bincount(gid[hit], minlength=n_genomes).astype(np.int64)
+    score = plain / np.maximum(sizes, 1)
+    order = np.lexsort((np.arange(n_genomes), -score))
+    rank = np.empty(n_genomes, np.int64)
+    rank[order] = np.arange(n_genomes)
+    starts = np.flatnonzero(
+        np.concatenate([[True], vals[1:] != vals[:-1]]))
+    run_hit = hit[starts]  # marks are propagated across each run already
+    run_min_rank = np.minimum.reduceat(rank[gid], starts)
+    winners = order[run_min_rank[run_hit]]
+    return np.bincount(winners, minlength=n_genomes).astype(np.int64)
 
 
 # ---------------------------------------------------------------- output

@@ -246,3 +246,34 @@ class TestScreenStats:
         hits_col = lines[0].split("\t").index("hits")
         got = sorted(int(ln.split("\t")[hits_col]) for ln in lines[1:])
         assert got == sorted(r["hits"] for r in api)
+
+
+def test_screen_slabbed_bitwise_parity(tmp_path, monkeypatch):
+    """Genome-slab streaming (DB beyond the device budget) must produce
+    rows bit-identical to the one-pass screen, in BOTH plain and
+    winner-takes-all modes, including hash values shared across slabs."""
+    import numpy as np
+
+    from miekki_tpu import engine
+    from miekki_tpu.params import SketchParams
+
+    from fixtures import make_genome_family, write_fasta, write_fastq
+
+    rng = np.random.default_rng(31)
+    genomes = make_genome_family(rng, 7, 5000, sub_rate=0.03)  # shared hashes
+    paths = [str(write_fasta(tmp_path / f"g{i}.fa", [(f"g{i}", g)]))
+             for i, g in enumerate(genomes)]
+    idx = engine.build_index(paths, SketchParams(k=21, s=200))
+    reads = [(f"r{i}", genomes[i % 3][j:j + 120])
+             for i, j in enumerate(rng.integers(0, 4000, 60))]
+    fq = str(write_fastq(tmp_path / "reads.fq", reads))
+
+    for winner in (False, True):
+        stats_ref: dict = {}
+        ref = engine.screen(idx, fq, winner=winner, stats=stats_ref)
+        monkeypatch.setenv("MIEKKI_SCREEN_DB_VALS", "500")  # forces ~3 slabs
+        stats_slab: dict = {}
+        got = engine.screen(idx, fq, winner=winner, stats=stats_slab)
+        monkeypatch.delenv("MIEKKI_SCREEN_DB_VALS")
+        assert got == ref, winner
+        assert stats_slab.get("n_slabs", 0) >= 2
