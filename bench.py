@@ -151,13 +151,58 @@ def bench_pairs(s: int = 10_000, tile: int = 512) -> float:
     cols = (hi[tile:], lo[tile:])
     impl = _intersect._intersect_impl(tile)
     if impl == "mxu":
+        # Mirror the PRODUCTION loop (r4 dist_counts_matrix): pipelined
+        # dispatches with deferred ambiguity resolution — per-tile
+        # finishes are one packed pull each, the lb != ub pairs of ALL
+        # tiles resolve at the end in one threaded native pass.  The r3
+        # synchronous per-tile form (dispatch → pull → resolve, serial)
+        # measured 408-415k pairs/s where the production loop sustains
+        # ~800k-1M on the same tiles.
+        from collections import deque
+
         from miekki_tpu.ops import mxu_intersect as _mxu
 
         rs = _mxu.sketch_stream(rows, False)
         cs = _mxu.sketch_stream(cols, True)
-        _sync((rs, cs))
-        dt = _time(lambda: _mxu.tile_counts_mxu_exact(
-            rows, cols, s, row_stream=rs, col_stream=cs))
+        rs2 = _mxu.sketch_stream(cols, False)  # swapped-role second tile
+        cs2 = _mxu.stream_with_col_tag(rs)
+        _sync((rs, cs, rs2, cs2))
+        rows_np = (np.asarray(rows[0]), np.asarray(rows[1]))
+        cols_np = (np.asarray(cols[0]), np.asarray(cols[1]))
+        jobs = [(rows, cols, rs, cs), (cols, rows, rs2, cs2)]
+        n_tiles = 8
+
+        def run_once():
+            pend = deque()
+            amb = []
+            for t in range(n_tiles):
+                r, c, a, b = jobs[t % 2]
+                pend.append((t % 2, _mxu.tile_counts_mxu_start(
+                    r, c, s, row_stream=a, col_stream=b)))
+                while len(pend) > 6:
+                    role, h = pend.popleft()
+                    _, ai, aj = _mxu.tile_counts_mxu_finish_deferred(h)
+                    amb.append((role, ai, aj))
+            while pend:
+                role, h = pend.popleft()
+                _, ai, aj = _mxu.tile_counts_mxu_finish_deferred(h)
+                amb.append((role, ai, aj))
+            # deferred resolution (native threaded two-pointer)
+            for role, ai, aj in amb:
+                if ai.size:
+                    a_np, b_np = ((rows_np, cols_np) if role == 0
+                                  else (cols_np, rows_np))
+                    _mxu.resolve_pairs_host(a_np, b_np, ai, aj, s)
+            return len(amb)
+
+        run_once()
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_once()
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        dt = times[len(times) // 2] / n_tiles
     else:
         dt = _time(lambda: _intersect.tile_counts(rows, cols, s, impl))
     return tile * tile / dt
