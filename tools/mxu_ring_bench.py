@@ -48,11 +48,16 @@ def family_index(n: int, s: int, seed: int = 1) -> SketchIndex:
         lo = jnp.where(keep, root_lo, priv_lo)
         return jax.lax.sort((hi, lo), dimension=-1, num_keys=2)
 
-    hi, lo = gen(jax.random.PRNGKey(seed))
-    hi = np.asarray(hi)
-    lo = np.asarray(lo)
+    dev_hi, dev_lo = gen(jax.random.PRNGKey(seed))
+    hi = np.asarray(dev_hi)
+    lo = np.asarray(dev_lo)
     params = SketchParams(k=31, s=s)
-    return SketchIndex(params, [f"g{i}" for i in range(n)], hi, lo)
+    idx = SketchIndex(params, [f"g{i}" for i in range(n)], hi, lo)
+    # Mirror the production builder: the sketches were just computed on
+    # device, so the compare phase slices blocks there instead of paying
+    # the ~25 MB/s tunnel re-upload (engine._keep_device_planes).
+    idx.device_planes = (dev_hi, dev_lo)
+    return idx
 
 
 def main():
