@@ -355,23 +355,35 @@ def _tile_counts_mxu(row_stream, col_stream, ti: int, tj: int, s: int,
     }
 
 
-@partial(jax.jit, static_argnames=("ti", "tj", "s", "chunk", "band", "mode"))
+@partial(jax.jit, static_argnames=("ti", "tj", "s", "chunk", "band", "mode",
+                                   "slim"))
 def _mxu_exact_packed(row_stream, col_stream, rows: u64.Pair,
                       cols: u64.Pair, ti: int, tj: int, s: int,
-                      chunk: int, band: int, mode: str):
+                      chunk: int, band: int, mode: str, slim: bool = False):
     """The full exact-path device computation as ONE dispatch returning ONE
     flat int32 array [4*ti*tj + ti + tj + 1]: (lb | ub | inter | union |
     n_a | n_b | overflow).  The tunneled platform charges a ~40 ms fixed
     cost per device execution AND per host transfer; the previous
     dict-of-arrays epilogue (eager jnp sums/broadcasts + 7 np.asarray
     pulls) measured 494k pairs/s at tile 512 where the raw MXU pass
-    benches 818k — the gap was almost entirely those fixed costs."""
+    benches 818k — the gap was almost entirely those fixed costs.
+
+    slim=True (the r4 deferred bulk path) returns only
+    [3*ti*tj + 1]: (lb | ub | inter | overflow) — union/n_a/n_b are
+    host-derivable from the index sizes, and dropping them cuts the
+    per-tile pull by 25%."""
     if mode == "full":
         out = _tile_counts_mxu_full(row_stream, col_stream, ti, tj, s,
                                     ti + tj)
     else:
         out = _tile_counts_mxu(row_stream, col_stream, ti, tj, s, chunk,
                                band)
+    if slim:
+        return jnp.concatenate([
+            out["shared_lb"].reshape(-1), out["shared_ub"].reshape(-1),
+            out["inter_full"].reshape(-1),
+            out["overflow"].astype(jnp.int32)[None],
+        ])
     n_a = jnp.sum((~u64.is_inf(rows)).astype(jnp.int32), axis=-1)
     n_b = jnp.sum((~u64.is_inf(cols)).astype(jnp.int32), axis=-1)
     union = jnp.minimum(n_a[:, None] + n_b[None, :] - out["inter_full"], s)
@@ -384,7 +396,8 @@ def _mxu_exact_packed(row_stream, col_stream, rows: u64.Pair,
 
 def tile_counts_mxu_start(rows: u64.Pair, cols: u64.Pair, s: int, *,
                           chunk: int = DEFAULT_CHUNK, band: int = DEFAULT_BAND,
-                          row_stream=None, col_stream=None):
+                          row_stream=None, col_stream=None,
+                          slim: bool = False):
     """Dispatch the MXU pass for a tile WITHOUT waiting for it.
 
     Returns an opaque pending handle for `tile_counts_mxu_finish`.  JAX
@@ -400,8 +413,8 @@ def tile_counts_mxu_start(rows: u64.Pair, cols: u64.Pair, s: int, *,
     ti = rows[0].shape[0]
     tj = cols[0].shape[0]
     flat_dev = _mxu_exact_packed(row_stream, col_stream, rows, cols,
-                                 ti, tj, s, chunk, band, "full")
-    return (flat_dev, rows, cols, s)
+                                 ti, tj, s, chunk, band, "full", slim)
+    return (flat_dev, rows, cols, s, slim)
 
 
 def tile_counts_mxu_exact(rows: u64.Pair, cols: u64.Pair, s: int, *,
@@ -422,7 +435,7 @@ def tile_counts_mxu_finish(pending):
     to the fused `tile_counts_mxu_exact` call by construction."""
     res, amb_i, amb_j = tile_counts_mxu_finish_deferred(pending)
     if amb_i.size:
-        _, rows, cols, s = pending
+        _, rows, cols, s = pending[:4]
         res["shared_in_x"][amb_i, amb_j] = resolve_pairs_host(
             rows, cols, amb_i, amb_j, s)
     return res
@@ -440,8 +453,13 @@ def tile_counts_mxu_finish_deferred(pending):
     360-408k pairs/s vs 760-818k through the bare dispatch).
 
     On band overflow (legacy mode only; impossible in full mode) the tile
-    falls back to the exact traceable kernel — no ambiguity to defer."""
-    flat_dev, rows, cols, s = pending
+    falls back to the exact traceable kernel — no ambiguity to defer.
+
+    Slim handles (tile_counts_mxu_start(slim=True)) carry only
+    lb/ub/inter; the returned dict then has union_size/n_a/n_b = None —
+    the bulk callers derive union host-side from the index sizes."""
+    flat_dev, rows, cols, s = pending[:4]
+    slim = pending[4] if len(pending) > 4 else False
     ti = rows[0].shape[0]
     tj = cols[0].shape[0]
     empty = np.zeros(0, np.int64)
@@ -458,15 +476,18 @@ def tile_counts_mxu_finish_deferred(pending):
     m = ti * tj
     lb = flat[:m].reshape(ti, tj)
     ub = flat[m:2 * m].reshape(ti, tj)
-    n_a = flat[4 * m:4 * m + ti]
-    n_b = flat[4 * m + ti:4 * m + ti + tj]
     res = {
         "inter_full": flat[2 * m:3 * m].reshape(ti, tj),
-        "n_a": np.broadcast_to(n_a[:, None], (ti, tj)),
-        "n_b": np.broadcast_to(n_b[None, :], (ti, tj)),
-        "union_size": flat[3 * m:4 * m].reshape(ti, tj),
         "shared_in_x": lb.copy(),
     }
+    if slim:
+        res["union_size"] = res["n_a"] = res["n_b"] = None
+    else:
+        n_a = flat[4 * m:4 * m + ti]
+        n_b = flat[4 * m + ti:4 * m + ti + tj]
+        res["n_a"] = np.broadcast_to(n_a[:, None], (ti, tj))
+        res["n_b"] = np.broadcast_to(n_b[None, :], (ti, tj))
+        res["union_size"] = flat[3 * m:4 * m].reshape(ti, tj)
     amb_i, amb_j = np.nonzero(lb != ub)
     return res, amb_i, amb_j
 

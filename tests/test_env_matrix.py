@@ -64,3 +64,36 @@ def test_screen_join_matrix_identical(monkeypatch, genomes_paths, tmp_path,
     want = engine.screen(idx, rp, flat=2048)
     assert got == want, (join, chunk)
     assert stats["n_survivors"] > 0  # metrics contract holds on both joins
+
+
+@pytest.mark.parametrize("knobs", [
+    {"MIEKKI_KEEP_DEV": "1"},
+    {"MIEKKI_KEEP_DEV": "0"},
+    {"MIEKKI_NATIVE_RESOLVE": "0", "MIEKKI_INTERSECT": "mxu"},
+    {"MIEKKI_NATIVE_RESOLVE": "1", "MIEKKI_INTERSECT": "mxu"},
+    {"MIEKKI_SCREEN_DB_VALS": "200"},  # forces slabbed screen
+])
+def test_r4_knob_matrix_identical(monkeypatch, genomes_paths, reference_tsv,
+                                  knobs):
+    """The r4 knobs (device-plane retention, native vs device ambiguity
+    resolve, screen slab budget) must never change results."""
+    for k_, v in knobs.items():
+        monkeypatch.setenv(k_, v)
+    idx = engine.build_index(genomes_paths, SketchParams(k=21, s=256))
+    got = engine.rows_to_tsv(engine.dist(idx))
+    assert got == reference_tsv, knobs
+    if "MIEKKI_SCREEN_DB_VALS" in knobs:
+        from fixtures import reads_from_genome, write_fastq
+
+        rng = np.random.default_rng(5)
+        g0 = open(genomes_paths[0], "rb").read().split(b"\n", 1)[1]
+        g0 = g0.replace(b"\n", b"")
+        reads = [(f"r{i}", r) for i, r in enumerate(
+            reads_from_genome(rng, g0, 40, 100))]
+        import pathlib
+        fq = write_fastq(pathlib.Path(str(genomes_paths[0]) + ".fq"), reads)
+        st: dict = {}
+        slabbed = engine.screen(idx, str(fq), stats=st)
+        assert st.get("n_slabs", 0) >= 2
+        monkeypatch.delenv("MIEKKI_SCREEN_DB_VALS")
+        assert slabbed == engine.screen(idx, str(fq))
