@@ -199,6 +199,30 @@ def cmd_dist(args) -> int:
         print(f"compared {n} pairs on the device mesh in {dt:.2f}s",
               file=sys.stderr)
         return 0
+    if args.counts:
+        # Single-device bulk path (r4): raw count matrices through
+        # dist_counts_matrix — pipelined dispatches, deferred ambiguity
+        # resolution, device-resident planes when the index was just
+        # built in-process.  Same artifact format as --distributed
+        # --counts.
+        import numpy as np
+
+        counts = engine.dist_counts_matrix(index_a, index_b, tile=args.tile)
+        idx_b = index_b if index_b is not None else index_a
+        np.savez_compressed(
+            args.counts,
+            shared=counts["shared"], union=counts["union"],
+            inter=counts["inter"],
+            k=index_a.params.k, s=index_a.params.s,
+            query_names=np.array(index_a.names),
+            reference_names=np.array(idx_b.names),
+        )
+        dt = time.perf_counter() - t0
+        _metrics.emit(args.metrics, phase="dist", seconds=dt,
+                      pairs=int(counts["shared"].size))
+        print(f"wrote count matrices {counts['shared'].shape} "
+              f"in {dt:.2f}s -> {args.counts}", file=sys.stderr)
+        return 0
     if args.manifest:
         if args.output == "-":
             print("dist: --manifest requires -o FILE", file=sys.stderr)
@@ -379,8 +403,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a Phylip-style square distance matrix "
                    "(mash dist -t analog)")
     p.add_argument("--counts", metavar="FILE", default=None,
-                   help="with --distributed: write raw shared/union count "
-                   "matrices to FILE (.npz) instead of a TSV")
+                   help="write raw shared/union/inter count matrices to "
+                   "FILE (.npz) instead of a TSV — the right artifact at "
+                   "10k+ genomes (single-device runs use the pipelined "
+                   "bulk path; with --distributed, the sharded ring)")
     p.add_argument("--containment", action="store_true",
                    help="add containment_q/containment_r/ani_containment "
                    "columns (BinDash-style sketch containment)")

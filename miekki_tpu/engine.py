@@ -94,7 +94,9 @@ def sketch_file(
     return _sketch.sketch_codes_device(packed, params.k, params.s, chunk=chunk)
 
 
-MAX_GENOME_BATCH = 16  # genomes vmapped per device call (power-of-2 buckets)
+MAX_GENOME_BATCH = 16  # genomes vmapped per device call (power-of-2
+# buckets).  r4 re-measured: G=256 adaptive batching is SLOWER (see
+# _dispatches note in _build_index_from_codes).
 
 
 def _sketch_batch(rows3d: jax.Array, k: int, s: int) -> jax.Array:
@@ -224,6 +226,13 @@ def _build_index_from_codes(
         depth = int(os.environ.get("MIEKKI_PIPELINE", "1"))
 
         def _dispatches():
+            # NOTE (r4, measured): byte-budget-adaptive batches (G=256 for
+            # tiny genomes to amortize the ~75-100 ms fixed dispatch cost)
+            # made the 10,240-genome sketch phase SLOWER — 158-175 s vs
+            # 83-122 s at batch=16, warm compile both — the G-wide vmapped
+            # scan's per-step working set regression (same failure mode as
+            # the r3 "bigger per-step slices regress" row) outweighs the
+            # fixed-cost saving.  batch=16 stands.
             for shape, idxs in by_shape.items():
                 for a in range(0, len(idxs), batch):
                     grp = idxs[a : a + batch]

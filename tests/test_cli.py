@@ -467,3 +467,23 @@ def test_list_file_inputs(tmp_path):
     out = str(tmp_path / "o.tsv")
     assert main(["dist", "-l", str(lst), "-o", out, "-k", "21", "-s", "64"]) == 0
     assert len(open(out).read().splitlines()) == 7  # header + C(4,2)
+
+
+def test_dist_counts_single_device(setup, tmp_path):
+    """dist --counts without --distributed (r4): raw count matrices via
+    the pipelined bulk path, values matching the TSV rows."""
+    tmp, genomes, paths, _ = setup
+    db = str(tmp / "db_counts.npz")
+    assert cli.main(["sketch", "-k", "21", "-s", "128", "-o", db] + paths) == 0
+    out_npz = str(tmp_path / "counts.npz")
+    assert cli.main(["dist", "--counts", out_npz, db]) == 0
+    z = np.load(out_npz)
+    assert z["shared"].shape == (4, 4)
+    tsv = str(tmp_path / "d.tsv")
+    assert cli.main(["dist", "-o", tsv, db]) == 0
+    names = [str(x) for x in z["query_names"]]
+    for line in open(tsv).read().splitlines()[1:]:
+        q, r, shared, union = line.split("\t")[:4]
+        i, j = names.index(q), names.index(r)
+        assert int(z["shared"][i, j]) == int(shared)
+        assert int(z["union"][i, j]) == int(union)
