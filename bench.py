@@ -232,16 +232,16 @@ def bench_pairs_compact(s: int = 10_000, tile: int = 512) -> float:
     rows, cols = codes[:tile], codes[tile:]
     impl = _intersect._intersect_impl(tile)
     if impl == "mxu":
-        from miekki_tpu.ops import compact as _compact_ops
+        # r4 single-plane stream pass: one (code, payload) 1-key sort per
+        # stream instead of deriving a fake lo plane and paying the full
+        # 3-plane u64 machinery.
         from miekki_tpu.ops import mxu_intersect as _mxu
 
-        rp = (rows, _compact_ops.lo_plane(rows))
-        cp = (cols, _compact_ops.lo_plane(cols))
-        rs = _mxu.sketch_stream(rp, False)
-        cs = _mxu.sketch_stream(cp, True)
+        rs = _mxu.sketch_stream32(rows, False)
+        cs = _mxu.sketch_stream32(cols, True)
         _sync((rs, cs))
-        dt = _time(lambda: _mxu.tile_counts_mxu_exact(
-            rp, cp, s, row_stream=rs, col_stream=cs))
+        dt = _time(lambda: _mxu.tile_counts_mxu_exact32(
+            rows, cols, s, row_stream=rs, col_stream=cs))
     else:
         dt = _time(lambda r, c: _intersect.tile_counts_compact(r, c, s, impl),
                    rows, cols)

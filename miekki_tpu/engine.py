@@ -412,12 +412,14 @@ def dist_tiles(
     # revisits a sliding window, so a partial cache still gets most reuse.
     import os as _os
 
-    # mxu operates on (plane, plane) pairs even for compact indexes (the
-    # lo plane is derived on device).
     mxu = impl == "mxu"
-    plane_bytes = (8 if mxu else 4) if compact else 8
-    # worst case per cached block: planes + row stream + derived col stream
-    bytes_per_block = tile * s * ((12 * 2 + plane_bytes) if mxu else plane_bytes)
+    # worst case per cached block: planes + row stream + derived col
+    # stream.  Compact mxu (r4) runs the single-plane stream pass: one
+    # code plane + two (code, payload) streams = 20 B/value vs the u64
+    # path's 32.
+    plane_bytes = 4 if compact else 8
+    stream_bytes = (8 * 2 if compact else 12 * 2) if mxu else 0
+    bytes_per_block = tile * s * (plane_bytes + stream_bytes)
     cache_mb = _os.environ.get("MIEKKI_COL_CACHE_MB")
     if cache_mb is not None:
         cache_mb = int(cache_mb)
@@ -468,11 +470,7 @@ def dist_tiles(
         table_hi, table_lo = (a_hi, a_lo) if side == "a" else (b_hi, b_lo)
         hi = jnp.asarray(table_hi[b * tile : (b + 1) * tile])
         if compact:
-            if not mxu:
-                return hi
-            from .ops import compact as _compact_ops
-
-            return (hi, _compact_ops.lo_plane(hi))
+            return hi  # single code plane (mxu runs the 32-bit pass)
         return hi, jnp.asarray(table_lo[b * tile : (b + 1) * tile])
 
     def block(side: str, b: int):
@@ -493,7 +491,8 @@ def dist_tiles(
         if mxu and ent[1] is None:
             from .ops import mxu_intersect as _mxu
 
-            ent[1] = _mxu.sketch_stream(ent[0], False)
+            ent[1] = (_mxu.sketch_stream32(ent[0], False) if compact
+                      else _mxu.sketch_stream(ent[0], False))
         return ent[0], ent[1]
 
     def col_block(bj: int):
@@ -502,8 +501,10 @@ def dist_tiles(
             from .ops import mxu_intersect as _mxu
 
             if ent[1] is None:
-                ent[1] = _mxu.sketch_stream(ent[0], False)
-            ent[2] = _mxu.stream_with_col_tag(ent[1])
+                ent[1] = (_mxu.sketch_stream32(ent[0], False) if compact
+                          else _mxu.sketch_stream(ent[0], False))
+            ent[2] = (_mxu.stream_with_col_tag32(ent[1]) if compact
+                      else _mxu.stream_with_col_tag(ent[1]))
         return ent[0], ent[2]
 
     # Tiles in flight beyond the one being finished.  JAX dispatch is
@@ -525,9 +526,14 @@ def dist_tiles(
             # Deferred bulk callers don't need per-tile union/n_a/n_b
             # (host-derivable from index sizes) — slim pulls are 25%
             # smaller (r4).
+            slim = _amb_out is not None and raw
+            if compact:
+                return _mxu.tile_counts_mxu_start32(
+                    rows, cols, s, row_stream=row_stream,
+                    col_stream=col_stream, slim=slim)
             return _mxu.tile_counts_mxu_start(
                 rows, cols, s, row_stream=row_stream, col_stream=col_stream,
-                slim=_amb_out is not None and raw)
+                slim=slim)
         if compact:
             counts = _intersect.tile_counts_compact(rows, cols, s, impl)
         else:

@@ -415,16 +415,14 @@ def tile_counts_compact(rows: jax.Array, cols: jax.Array, s: int,
                         impl: str = None):
     """tile_counts for COMPACT sketches: [Ti, s] / [Tj, s] uint32 code
     planes.  Same output dict; dispatches to single-plane kernels (pallas /
-    bitonic / searchsorted — mxu callers keep the (code, 0) pair path).
+    bitonic / searchsorted / the r4 single-plane mxu stream pass).
     auto → pallas here (see tile_counts: bare calls can't amortize the mxu
     stream sorts; dist_tiles passes its tile to _intersect_impl itself)."""
     impl = impl or _intersect_impl()
     if impl == "mxu":
         from . import mxu_intersect
-        from .compact import lo_plane
 
-        return mxu_intersect.tile_counts_mxu_exact(
-            (rows, lo_plane(rows)), (cols, lo_plane(cols)), s)
+        return mxu_intersect.tile_counts_mxu_exact32(rows, cols, s)
     return _tile_counts_compact(rows, cols, s, impl)
 
 

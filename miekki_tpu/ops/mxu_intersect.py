@@ -93,6 +93,33 @@ def stream_with_col_tag(stream):
     return hi, lo, pay | _COL_TAG
 
 
+_INF32 = np.uint32(0xFFFFFFFF)
+
+
+@partial(jax.jit, static_argnames=("is_col",))
+def sketch_stream32(codes: jax.Array, is_col: bool):
+    """Single-plane analog of sketch_stream for COMPACT code sketches:
+    one 1-key sort over (code, payload) — a third less sort traffic than
+    the (hi, lo, payload) pair streams the compact path previously paid
+    by deriving a fake lo plane (r4)."""
+    n, sp = codes.shape
+    pay = jax.lax.broadcasted_iota(jnp.uint32, (n, sp), 0)
+    if is_col:
+        pay = pay | _COL_TAG
+    code, pay = jax.lax.sort((codes.reshape(-1), pay.reshape(-1)),
+                             num_keys=1)
+    return code, pay
+
+
+@jax.jit
+def stream_with_col_tag32(stream):
+    """Column-role derivation for sketch_stream32 results (lax.sort is
+    stable and the payload is not a key, so the permutation is
+    role-independent — same argument as stream_with_col_tag)."""
+    code, pay = stream
+    return code, pay | _COL_TAG
+
+
 # (Round-4 prune: the MIEKKI_MXU_MODE env knob was removed — `full` is the
 # production mode; the legacy banded pass remains reachable only through
 # the explicit `mode="band"` argument for comparison benchmarks/tests.)
@@ -193,7 +220,41 @@ def _tile_counts_mxu_full(row_stream, col_stream, ti: int, tj: int, s: int,
         jnp.ones((1,), jnp.int32),
         ((hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])).astype(jnp.int32)])
     rid = jnp.cumsum(newrun, dtype=jnp.int32)
+    return _mxu_pass_from_rid(rid, pay, ti, tj, s, chunk, n_chunks)
 
+
+@partial(jax.jit, static_argnames=("ti", "tj", "s", "chunk"))
+def _tile_counts_mxu_full32(row_stream, col_stream, ti: int, tj: int,
+                            s: int, chunk: int):
+    """Single-plane (compact code) front-end of the full stream pass:
+    merge two presorted (code, payload) streams with one 2-array 1-key
+    sort, build run ids from code equality, and run the shared
+    plane-free core.  Codes are distinct per sketch (store.to_compact
+    dedups), so the same exactness argument applies verbatim."""
+    assert ti + tj <= chunk, (ti, tj, chunk)
+    rc, rp = row_stream
+    cc, cp = col_stream
+    code, pay = jax.lax.sort(
+        (jnp.concatenate([rc, cc]), jnp.concatenate([rp, cp])), num_keys=1)
+    n = code.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    code = jnp.pad(code, (0, pad), constant_values=_INF32)
+    pay = jnp.pad(pay, (0, pad), constant_values=_PAY_SENTINEL)
+    pay = jnp.where(code == _INF32, _PAY_SENTINEL, pay)
+    newrun = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        (code[1:] != code[:-1]).astype(jnp.int32)])
+    rid = jnp.cumsum(newrun, dtype=jnp.int32)
+    return _mxu_pass_from_rid(rid, pay, ti, tj, s, chunk, n_chunks)
+
+
+def _mxu_pass_from_rid(rid, pay, ti: int, tj: int, s: int, chunk: int,
+                       n_chunks: int):
+    """The value-plane-free core of the full stream pass: everything after
+    run-id construction depends only on (rid, pay) — shared verbatim by
+    the u64 and the single-plane compact front-ends, so both stay
+    bitwise-equivalent by construction."""
     iota_i = jnp.arange(ti, dtype=jnp.uint32)
     iota_j = jnp.arange(tj, dtype=jnp.uint32) | _COL_TAG
     zero_mat = jnp.zeros((ti, tj), jnp.float32)
@@ -394,6 +455,58 @@ def _mxu_exact_packed(row_stream, col_stream, rows: u64.Pair,
     ])
 
 
+@partial(jax.jit, static_argnames=("ti", "tj", "s", "slim"))
+def _mxu_exact_packed32(row_stream, col_stream, codes_rows, codes_cols,
+                        ti: int, tj: int, s: int, slim: bool = False):
+    """Single-plane analog of _mxu_exact_packed (full mode only — the
+    legacy band pass never grew a 32-bit variant)."""
+    out = _tile_counts_mxu_full32(row_stream, col_stream, ti, tj, s,
+                                  ti + tj)
+    if slim:
+        return jnp.concatenate([
+            out["shared_lb"].reshape(-1), out["shared_ub"].reshape(-1),
+            out["inter_full"].reshape(-1),
+            out["overflow"].astype(jnp.int32)[None],
+        ])
+    n_a = jnp.sum((codes_rows != _INF32).astype(jnp.int32), axis=-1)
+    n_b = jnp.sum((codes_cols != _INF32).astype(jnp.int32), axis=-1)
+    union = jnp.minimum(n_a[:, None] + n_b[None, :] - out["inter_full"], s)
+    return jnp.concatenate([
+        out["shared_lb"].reshape(-1), out["shared_ub"].reshape(-1),
+        out["inter_full"].reshape(-1), union.reshape(-1),
+        n_a, n_b, out["overflow"].astype(jnp.int32)[None],
+    ])
+
+
+def tile_counts_mxu_start32(codes_rows: jax.Array, codes_cols: jax.Array,
+                            s: int, *, row_stream=None, col_stream=None,
+                            slim: bool = False):
+    """tile_counts_mxu_start for single-plane compact code sketches.
+    Returns a pending handle for tile_counts_mxu_finish(_deferred); the
+    finish epilogue derives the (code, lo) pair view only if ambiguity
+    resolution actually needs it."""
+    if row_stream is None:
+        row_stream = sketch_stream32(codes_rows, False)
+    if col_stream is None:
+        col_stream = sketch_stream32(codes_cols, True)
+    ti = codes_rows.shape[0]
+    tj = codes_cols.shape[0]
+    flat_dev = _mxu_exact_packed32(row_stream, col_stream, codes_rows,
+                                   codes_cols, ti, tj, s, slim)
+    return (flat_dev, codes_rows, codes_cols, s, slim, "32")
+
+
+def _pair_view(planes):
+    """(hi, lo) u64-pair view of a handle's row/col entry: u64 pairs pass
+    through; single code planes get the derived lo plane (0 for values,
+    INF for sentinels — same definition as ops.compact.lo_plane)."""
+    if isinstance(planes, tuple):
+        return planes
+    codes = np.asarray(planes)
+    lo = np.where(codes == _INF32, _INF32, np.uint32(0)).astype(np.uint32)
+    return codes, lo
+
+
 def tile_counts_mxu_start(rows: u64.Pair, cols: u64.Pair, s: int, *,
                           chunk: int = DEFAULT_CHUNK, band: int = DEFAULT_BAND,
                           row_stream=None, col_stream=None,
@@ -417,6 +530,15 @@ def tile_counts_mxu_start(rows: u64.Pair, cols: u64.Pair, s: int, *,
     return (flat_dev, rows, cols, s, slim)
 
 
+def tile_counts_mxu_exact32(codes_rows: jax.Array, codes_cols: jax.Array,
+                            s: int, *, row_stream=None, col_stream=None):
+    """tile_counts-compatible exact counts on single code planes (the
+    compact analog of tile_counts_mxu_exact)."""
+    return tile_counts_mxu_finish(tile_counts_mxu_start32(
+        codes_rows, codes_cols, s, row_stream=row_stream,
+        col_stream=col_stream))
+
+
 def tile_counts_mxu_exact(rows: u64.Pair, cols: u64.Pair, s: int, *,
                           chunk: int = DEFAULT_CHUNK, band: int = DEFAULT_BAND,
                           row_stream=None, col_stream=None):
@@ -437,7 +559,7 @@ def tile_counts_mxu_finish(pending):
     if amb_i.size:
         _, rows, cols, s = pending[:4]
         res["shared_in_x"][amb_i, amb_j] = resolve_pairs_host(
-            rows, cols, amb_i, amb_j, s)
+            _pair_view(rows), _pair_view(cols), amb_i, amb_j, s)
     return res
 
 
@@ -460,18 +582,23 @@ def tile_counts_mxu_finish_deferred(pending):
     the bulk callers derive union host-side from the index sizes."""
     flat_dev, rows, cols, s = pending[:4]
     slim = pending[4] if len(pending) > 4 else False
-    ti = rows[0].shape[0]
-    tj = cols[0].shape[0]
+    single = len(pending) > 5 and pending[5] == "32"
+    ti = rows.shape[0] if single else rows[0].shape[0]
+    tj = cols.shape[0] if single else cols[0].shape[0]
     empty = np.zeros(0, np.int64)
     flat = np.asarray(flat_dev)
-    if bool(flat[-1]):  # overflow
+    if bool(flat[-1]):  # overflow (unreachable in full mode — the only
+        # mode the single-plane path has — but kept uniform)
         # _intersect_impl() would return "mxu" here (that's how we were
         # reached); resolve to the backend's traceable kernel instead —
         # _tile_counts has no mxu branch and its else-branch is the
         # scalarized-gather searchsorted path, pathological on TPU.
         from .intersect import _tile_counts, _intersect_impl_traced
+        r_pair = jax.tree.map(jnp.asarray, _pair_view(rows))
+        c_pair = jax.tree.map(jnp.asarray, _pair_view(cols))
         res = jax.tree.map(
-            np.asarray, _tile_counts(rows, cols, s, _intersect_impl_traced()))
+            np.asarray,
+            _tile_counts(r_pair, c_pair, s, _intersect_impl_traced()))
         return res, empty, empty
     m = ti * tj
     lb = flat[:m].reshape(ti, tj)

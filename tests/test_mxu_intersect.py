@@ -288,3 +288,49 @@ def test_prefix_certificate_rejects_clones():
     ref = intersect.pair_counts_merge(
         (rows[0][1], rows[1][1]), (cols[0][1], cols[1][1]), s)
     assert packed[0][1] == int(ref["shared_in_x"])
+
+
+def test_single_plane_full_pass_matches_pair_path():
+    """The r4 single-plane (compact code) stream pass must be bit-identical
+    to running the u64 pass on (code, lo_plane) pairs — same run-id core,
+    one fewer sort plane — including short (sentinel-padded) sketches and
+    family-structured long runs, plus the stream_with_col_tag32 shortcut."""
+    import jax.numpy as jnp
+
+    from miekki_tpu.ops import mxu_intersect as M
+
+    rng = np.random.default_rng(9)
+    s, ti, tj = 200, 24, 16
+    root = np.sort(rng.choice(np.arange(1, 2**31, dtype=np.uint32),
+                              size=s, replace=False))
+    def mk(n):
+        tbl = np.full((n, s), np.uint32(0xFFFFFFFF))
+        for i in range(n):
+            m = int(rng.integers(5, s + 1))
+            keep = rng.random(s) < 0.3
+            vals = np.where(keep, root, rng.integers(
+                1, 2**31, size=s, dtype=np.uint32).astype(np.uint32))
+            tbl[i, :m] = np.sort(np.unique(vals))[:m]
+            tbl[i, m:] = np.uint32(0xFFFFFFFF)
+        return tbl
+
+    rows = mk(ti)
+    cols = mk(tj)
+    got = M.tile_counts_mxu_exact32(jnp.asarray(rows), jnp.asarray(cols), s)
+    lo_r = np.where(rows == 0xFFFFFFFF, np.uint32(0xFFFFFFFF),
+                    np.uint32(0))
+    lo_c = np.where(cols == 0xFFFFFFFF, np.uint32(0xFFFFFFFF),
+                    np.uint32(0))
+    want = M.tile_counts_mxu_exact(
+        (jnp.asarray(rows), jnp.asarray(lo_r)),
+        (jnp.asarray(cols), jnp.asarray(lo_c)), s)
+    for key in ("shared_in_x", "union_size", "inter_full", "n_a", "n_b"):
+        np.testing.assert_array_equal(got[key], want[key])
+    # col-tag shortcut == genuine col-role sort
+    st = M.sketch_stream32(jnp.asarray(cols), False)
+    tagged = M.stream_with_col_tag32(st)
+    direct = M.sketch_stream32(jnp.asarray(cols), True)
+    np.testing.assert_array_equal(np.asarray(tagged[0]),
+                                  np.asarray(direct[0]))
+    np.testing.assert_array_equal(np.asarray(tagged[1]),
+                                  np.asarray(direct[1]))
