@@ -8,5 +8,6 @@ screening data-parallel with partial counts merged collectively.
 """
 
 from .mesh import local_mesh, initialize_distributed  # noqa: F401
-from .allvsall import dist_sharded, ring_all_vs_all_counts  # noqa: F401
+from .allvsall import (dist_sharded, dist_sharded_hostring,  # noqa: F401
+                       ring_all_vs_all_counts)
 from .screen import screen_sharded  # noqa: F401

@@ -429,6 +429,145 @@ def _dist_sharded_mxu(
     return {"shared": shared, "union": union, "inter": inter}
 
 
+def dist_sharded_hostring(
+    index_a: SketchIndex,
+    devices=None,
+    mxu_tile: int = _MXU_RING_TILE,
+) -> Dict[str, np.ndarray]:
+    """Host-orchestrated multi-device ring all-vs-all (self-comparison).
+
+    The third point in the design space measured in r4
+    (`artifacts/mxu_ring_bench.json`): the fully-TRACED mxu ring keeps
+    the collective inside one XLA program but compiles 7x slower code on
+    this platform; the host-orchestrated BULK path has the fast dispatch
+    granularity but is single-device.  This path combines them: every
+    device owns a row block whose sub-block streams are sorted once ON
+    that device; each ring step runs the small cached-compile mxu tile
+    dispatches device-parallel (jax dispatch is async per device), while
+    the column-role STREAMS rotate to the next device with explicit
+    `jax.device_put` device-to-device copies (DMA over ICI on real
+    hardware — the ring pattern, outside any traced program).  Ambiguity
+    resolution is deferred across ALL steps and resolved once on the
+    host table (native two-pointer).  Bit-identical to dist_sharded
+    (tested on the 8-device CPU mesh).
+
+    On a real pod this maps to per-host orchestration of its local
+    chips; cross-host rotation would ride the same collective-permute
+    the traced ring uses.  Returns the full [N, N] count matrices.
+    """
+    import jax
+
+    from ..ops import mxu_intersect as _mxu
+
+    if devices is None:
+        devices = jax.devices()
+    D = len(devices)
+    s = index_a.params.s
+    n = len(index_a)
+    tile = min(mxu_tile, max(1, n))
+    per_dev = -(-n // D)  # ceil rows per device
+    n_sub = max(1, -(-per_dev // tile))  # sub-blocks per device row block
+    nl = n_sub * tile  # rows per device (padded)
+    n_pad = D * nl
+
+    # Builder-attached device planes avoid the host upload for the
+    # initial placement (device→device copies are DMA; host→device rides
+    # the ~25 MB/s tunnel).
+    dev = getattr(index_a, "device_planes", None)
+    if dev is not None and not index_a.params.compact:
+        import jax.numpy as _jnp
+
+        pad_rows = n_pad - n
+        hi_src, lo_src = dev
+        if pad_rows:
+            padv = _jnp.full((pad_rows, hi_src.shape[1]),
+                             np.uint32(0xFFFFFFFF), _jnp.uint32)
+            hi_src = _jnp.concatenate([hi_src, padv])
+            lo_src = _jnp.concatenate([lo_src, padv])
+    else:
+        hi_src = index_a.hi
+        lo_src = index_a.lo
+        if n_pad != n:
+            pad = np.full((n_pad - n, hi_src.shape[1]), 0xFFFFFFFF,
+                          np.uint32)
+            hi_src = np.concatenate([hi_src, pad])
+            lo_src = np.concatenate([lo_src, pad])
+
+    # Per-device row blocks: planes + per-sub-block row/col streams, all
+    # computed on the owning device (committed inputs pin the dispatch).
+    row_planes = []
+    row_streams = []
+    for d in range(D):
+        ph = jax.device_put(hi_src[d * nl:(d + 1) * nl], devices[d])
+        pl = jax.device_put(lo_src[d * nl:(d + 1) * nl], devices[d])
+        row_planes.append((ph, pl))
+        subs = []
+        for i in range(n_sub):
+            sl = np.s_[i * tile:(i + 1) * tile]
+            subs.append(_mxu.sketch_stream((ph[sl], pl[sl]), False))
+        row_streams.append(subs)
+
+    # Rotating column state: (planes, per-sub-block col streams, origin).
+    col_planes = list(row_planes)
+    col_streams = [[_mxu.stream_with_col_tag(st) for st in subs]
+                   for subs in row_streams]
+    col_origin = list(range(D))
+
+    shared = np.zeros((n_pad, n_pad), np.int32)
+    inter = np.zeros((n_pad, n_pad), np.int32)
+    amb_i_all: list = []
+    amb_j_all: list = []
+
+    for t in range(D):
+        handles = []
+        for d in range(D):
+            o = col_origin[d]
+            rp = row_planes[d]
+            cp = col_planes[d]
+            for i in range(n_sub):
+                ri = np.s_[i * tile:(i + 1) * tile]
+                for j in range(n_sub):
+                    cj = np.s_[j * tile:(j + 1) * tile]
+                    h = _mxu.tile_counts_mxu_start(
+                        (rp[0][ri], rp[1][ri]), (cp[0][cj], cp[1][cj]), s,
+                        row_stream=row_streams[d][i],
+                        col_stream=col_streams[d][j], slim=True)
+                    handles.append((d, o, i, j, h))
+        if t + 1 < D:
+            # Rotate the column state for step t+1 NOW (async device-to-
+            # device copies overlap both this step's compute and the
+            # pulls below).
+            col_planes = [jax.device_put(col_planes[(d - 1) % D],
+                                         devices[d]) for d in range(D)]
+            col_streams = [jax.device_put(col_streams[(d - 1) % D],
+                                          devices[d]) for d in range(D)]
+            col_origin = [col_origin[(d - 1) % D] for d in range(D)]
+        for d, o, i, j, h in handles:
+            res, ai, aj = _mxu.tile_counts_mxu_finish_deferred(h)
+            r0 = d * nl + i * tile
+            c0 = o * nl + j * tile
+            shared[r0:r0 + tile, c0:c0 + tile] = res["shared_in_x"]
+            inter[r0:r0 + tile, c0:c0 + tile] = res["inter_full"]
+            if ai.size:
+                gi = r0 + ai
+                gj = c0 + aj
+                keep = (gi < n) & (gj < n)
+                amb_i_all.append(gi[keep])
+                amb_j_all.append(gj[keep])
+
+    shared = shared[:n, :n]
+    inter = inter[:n, :n]
+    if amb_i_all:
+        ai = np.concatenate(amb_i_all)
+        aj = np.concatenate(amb_j_all)
+        shared[ai, aj] = _mxu.resolve_pairs_host(
+            (index_a.hi, index_a.lo), (index_a.hi, index_a.lo), ai, aj, s)
+    sz = index_a.sizes().astype(np.int64)
+    union = np.minimum(sz[:, None] + sz[None, :] - inter,
+                       s).astype(np.int32)
+    return {"shared": shared, "union": union, "inter": inter}
+
+
 def dist_sharded(
     index_a: SketchIndex,
     mesh: Mesh,

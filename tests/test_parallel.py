@@ -234,3 +234,25 @@ def test_mxu_ring_uneven_tile_padding(family_index, monkeypatch):
     got = dist_sharded(idx, mesh, mxu_tile=3)
     for k in ("shared", "union", "inter"):
         assert np.array_equal(ref[k], got[k]), k
+
+
+def test_hostring_matches_default_ring(family_index):
+    """The r4 host-orchestrated device ring (explicit device_put rotation
+    of per-device sub-block streams + device-parallel mxu dispatches +
+    one deferred resolve) must be bit-identical to the traced default
+    ring, including padding (n not a multiple of D*tile) and short
+    sketches."""
+    from miekki_tpu.parallel.allvsall import dist_sharded_hostring
+
+    idx = family_index
+    # truncate one sketch so INF padding flows through every stage
+    hi = idx.hi.copy()
+    lo = idx.lo.copy()
+    hi[3, 10:] = 0xFFFFFFFF
+    lo[3, 10:] = 0xFFFFFFFF
+    idx2 = SketchIndex(idx.params, idx.names, hi, lo)
+    mesh = local_mesh(axis_names=(DB_AXIS,))
+    ref = dist_sharded(idx2, mesh)
+    got = dist_sharded_hostring(idx2, mxu_tile=3)
+    for k in ("shared", "union", "inter"):
+        assert np.array_equal(ref[k], got[k]), k

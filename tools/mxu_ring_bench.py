@@ -84,6 +84,25 @@ def main():
         out.setdefault("check", {})[name] = int(res["shared"].sum())
         print(name, out[name], flush=True)
 
+    # host-orchestrated device ring (r4): per-device mxu dispatches +
+    # explicit device_put stream rotation — the multi-device design at
+    # the fast dispatch granularity (computes the FULL matrix, no
+    # triangle skip).
+    from miekki_tpu.parallel.allvsall import dist_sharded_hostring
+
+    res = dist_sharded_hostring(idx, mxu_tile=tile)  # warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = dist_sharded_hostring(idx, mxu_tile=tile)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
+    out["hostring"] = {"sec": dt, "pairs_per_s": pairs / dt,
+                       "devices": len(jax.devices())}
+    out["check"]["hostring"] = int(res["shared"].sum())
+    print("hostring", out["hostring"], flush=True)
+
     # host-orchestrated reference: engine.dist_tiles production dispatch
     os.environ["MIEKKI_INTERSECT"] = "mxu"
     from miekki_tpu import engine
