@@ -61,3 +61,39 @@ def test_structured_genomes(kind):
     got = dsk.sketch_codes_device(codes.astype(np.uint8), k, s, chunk=2048)
     want = np.unique(nthash.canonical_hashes(codes, k))[:s]
     assert np.array_equal(got, want), kind
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_bulk_matrix_vs_rows(trial, monkeypatch):
+    """Random (n, s, tile, impl, sharing) through dist_counts_matrix vs
+    the row-level dist_iter — the r4 bulk path (raw tiles, slim pulls,
+    deferred + native ambiguity resolution) must agree cell-for-cell on
+    every shape, including n smaller than one tile and heavy sharing."""
+    from miekki_tpu import engine
+    from miekki_tpu.index.store import SketchIndex
+    from miekki_tpu.params import SketchParams
+
+    rng = np.random.default_rng(7000 + trial)
+    s = int(rng.integers(24, 300))
+    n = int(rng.integers(2, 40))
+    tile = int(rng.choice([2, 3, 8, 64]))
+    impl = str(rng.choice(["mxu", "searchsorted"]))
+    share = float(rng.choice([0.0, 0.3, 0.8]))
+    pool = np.unique(rng.integers(1, 2**63, size=4 * s, dtype=np.uint64))
+    sketches = []
+    for _ in range(n):
+        m = int(rng.integers(1, s + 1))
+        if share and len(pool) >= s:
+            keep = rng.random(s) < share
+            vals = np.where(keep, pool[:s],
+                            rng.integers(1, 2**63, size=s, dtype=np.uint64))
+        else:
+            vals = rng.integers(1, 2**63, size=s, dtype=np.uint64)
+        sketches.append(np.unique(vals)[:m])
+    idx = SketchIndex.from_sketches(
+        sketches, [f"g{i}" for i in range(n)], SketchParams(k=21, s=s))
+    monkeypatch.setenv("MIEKKI_INTERSECT", impl)
+    mat = engine.dist_counts_matrix(idx, tile=tile)
+    for r in engine.dist_iter(idx, tile=tile):
+        assert mat["shared"][r["i"], r["j"]] == r["shared"], (trial, r)
+        assert mat["union"][r["i"], r["j"]] == r["union"], (trial, r)
