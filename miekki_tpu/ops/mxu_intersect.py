@@ -498,13 +498,14 @@ def tile_counts_mxu_start32(codes_rows: jax.Array, codes_cols: jax.Array,
 
 def _pair_view(planes):
     """(hi, lo) u64-pair view of a handle's row/col entry: u64 pairs pass
-    through; single code planes get the derived lo plane (0 for values,
-    INF for sentinels — same definition as ops.compact.lo_plane)."""
+    through; single code planes get the derived lo plane
+    (ops.compact.lo_plane_np — one definition)."""
     if isinstance(planes, tuple):
         return planes
+    from .compact import lo_plane_np
+
     codes = np.asarray(planes)
-    lo = np.where(codes == _INF32, _INF32, np.uint32(0)).astype(np.uint32)
-    return codes, lo
+    return codes, lo_plane_np(codes)
 
 
 def tile_counts_mxu_start(rows: u64.Pair, cols: u64.Pair, s: int, *,
