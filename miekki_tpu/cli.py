@@ -258,13 +258,17 @@ def cmd_screen(args) -> int:
 
         rows = screen_sharded(index, args.reads,
                               local_mesh(axis_names=(DATA_AXIS,)),
-                              flat=args.flat, winner=args.winner, stats=stats)
+                              flat=args.flat, winner=args.winner, stats=stats,
+                              p_values=args.p_values)
     else:
         rows = engine.screen(index, args.reads, flat=args.flat,
-                             winner=args.winner, stats=stats)
+                             winner=args.winner, stats=stats,
+                             p_values=args.p_values)
     dt = time.perf_counter() - t0
     cols = ("reference", "hits", "sketch_size", "containment",
             "containment_lo", "containment_hi", "ani")
+    if args.p_values:
+        cols = cols + ("p_value",)
     with _out(args) as f:
         f.write(engine.rows_to_tsv(rows, columns=cols))
     _metrics.emit(args.metrics, phase="screen", genomes=len(rows), seconds=dt,
@@ -434,6 +438,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-w", "--winner", action="store_true",
                    help="winner-takes-all: credit each distinct hit hash to "
                    "only its best-containment genome (mash screen -w analog)")
+    p.add_argument("-p", "--p-values", action="store_true",
+                   help="add a p_value column: chance probability of >= hits "
+                   "under a binomial null with the read set's distinct-k-mer "
+                   "cardinality (KMV-estimated over the stream)")
     _add_common(p)
     p.set_defaults(fn=cmd_screen)
 

@@ -293,23 +293,40 @@ def _keep_device_planes(n: int, s: int) -> bool:
     return n * s * 8 <= limit * 0.25
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _dus_rows(big, h, pos):
+    return jax.lax.dynamic_update_slice(big, h, (0, pos, 0))
+
+
 def _assemble_device_planes(dev_batches, n: int, s: int):
     """[2, G, s] batch outputs (genome indices in `grp` order) → device
-    (hi, lo) [n, s] planes in global genome order, via one concat + one
-    row gather; genomes absent from every batch (shorter than k) point at
-    an appended INF row."""
+    (hi, lo) [n, s] planes in global genome order.  Batches are copied into
+    a preallocated INF-filled buffer via DONATED dynamic_update_slice (in
+    place — no whole-table copy per batch), each batch handle dropped as it
+    is consumed, then one row gather: peak device footprint is ~2x the
+    table + one batch, not the ~3x of the old concat form (ADVICE r4).
+    Genomes absent from every batch (shorter than k) point at the trailing
+    INF row."""
+    total = sum(h.shape[1] for _, h in dev_batches) + 1  # + sentinel INF row
+    big = jnp.full((2, total, s), np.uint32(0xFFFFFFFF), jnp.uint32)
     order = np.full(n, -1, np.int64)
     pos = 0
-    for grp, h in dev_batches:
+    while dev_batches:
+        grp, h = dev_batches.pop(0)
         for gi, i in enumerate(grp):
             order[i] = pos + gi
+        big = _dus_rows(big, h, jnp.int32(pos))
         pos += h.shape[1]
-    big = jnp.concatenate([h for _, h in dev_batches], axis=1)
-    inf_row = jnp.full((2, 1, s), np.uint32(0xFFFFFFFF), jnp.uint32)
-    big = jnp.concatenate([big, inf_row], axis=1)
-    order[order < 0] = pos
+    order[order < 0] = total - 1
     sel = jnp.asarray(order)
-    return (jnp.take(big[0], sel, axis=0), jnp.take(big[1], sel, axis=0))
+    return _gather_planes(big, sel)
+
+
+@jax.jit
+def _gather_planes(big, sel):
+    # one fused gather per plane (jitted: big[0]/big[1] are not
+    # materialized as standalone copies)
+    return jnp.take(big[0], sel, axis=0), jnp.take(big[1], sel, axis=0)
 
 
 # ---------------------------------------------------------------- distances
@@ -1308,6 +1325,47 @@ def _screen_update(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes, k: int,
                                flat_codes, k, compact, chunk, join)
 
 
+_KMV_S0 = 4096  # bottom-s0 KMV state for the optional screen p-value
+# column: relative error of the read-set cardinality ~1/sqrt(s0) ≈ 1.6%
+
+
+def _kmv_init(s0: int = _KMV_S0):
+    # two DISTINCT buffers: _kmv_update donates both, and donating one
+    # buffer twice is an XLA execute error
+    return (jnp.full(s0, np.uint32(0xFFFFFFFF), jnp.uint32),
+            jnp.full(s0, np.uint32(0xFFFFFFFF), jnp.uint32))
+
+
+@partial(jax.jit, static_argnames=("k", "s0"), donate_argnums=(0, 1))
+def _kmv_update(state_hi, state_lo, flat_codes, k: int, s0: int):
+    """Bottom-s0 distinct-hash (KMV) state update over one packed read
+    batch (1-D) or a [G, W] group of batches: the read-set cardinality
+    estimate behind the optional screen p-value column.  Set-union
+    semantics (sort → dedup → truncate), so the result is independent of
+    batch grouping — engine.screen and parallel.screen_sharded produce
+    bitwise-identical states over the same read stream."""
+    if flat_codes.ndim == 1:
+        flat_codes = flat_codes[None]
+    h = jax.vmap(lambda r: _hash.hash_windows(r, k)[0])(flat_codes)
+    hi = jnp.concatenate([state_hi, h[0].ravel()])
+    lo = jnp.concatenate([state_lo, h[1].ravel()])
+    hi, lo = jax.lax.sort((hi, lo), num_keys=2)
+    dup = jnp.concatenate([jnp.zeros(1, jnp.bool_),
+                           (hi[1:] == hi[:-1]) & (lo[1:] == lo[:-1])])
+    hi = jnp.where(dup, jnp.uint32(0xFFFFFFFF), hi)
+    lo = jnp.where(dup, jnp.uint32(0xFFFFFFFF), lo)
+    hi, lo = jax.lax.sort((hi, lo), num_keys=2)
+    return hi[:s0], lo[:s0]
+
+
+def _kmv_estimate(state) -> float:
+    """Read-set distinct canonical-k-mer estimate from the KMV state —
+    exact when fewer than s0 distinct hashes were seen (INVALID windows
+    hash to the INF sentinel and are excluded by kmv_cardinality)."""
+    vals = u64.join(np.asarray(state[0]), np.asarray(state[1]))
+    return _oracle_compare.kmv_cardinality(vals, len(vals))
+
+
 def _packed_read_batches_fast(path, k: int, flat: int) -> Iterator[np.ndarray]:
     """Vectorized batch packing over the native parser's STREAMED output
     (bounded RSS for >RAM read sets — VERDICT r1 item 4).
@@ -1485,24 +1543,29 @@ def _hits_winner_takes_all(flat_vals: np.ndarray, gid: np.ndarray,
     return np.bincount(winners, minlength=n_genomes).astype(np.int64)
 
 
-def _screen_rows(index: SketchIndex, hits: np.ndarray) -> List[dict]:
+def _screen_rows(index: SketchIndex, hits: np.ndarray,
+                 read_card: Optional[float] = None) -> List[dict]:
     sizes = index.sizes()
     k = index.params.k
+    pvals = None
+    if read_card is not None:
+        pvals = _oracle_compare.screen_p_value_vec(hits, sizes, read_card, k)
     out = []
     for g in range(len(index)):
         c = float(hits[g]) / float(sizes[g]) if sizes[g] > 0 else 0.0
         c_lo, c_hi = _oracle_compare.jaccard_ci(int(hits[g]), int(sizes[g]))
-        out.append(
-            {
-                "reference": index.names[g],
-                "hits": int(hits[g]),
-                "sketch_size": int(sizes[g]),
-                "containment": c,
-                "containment_lo": c_lo,
-                "containment_hi": c_hi,
-                "ani": _oracle_compare.ani_from_containment(c, k),
-            }
-        )
+        row = {
+            "reference": index.names[g],
+            "hits": int(hits[g]),
+            "sketch_size": int(sizes[g]),
+            "containment": c,
+            "containment_lo": c_lo,
+            "containment_hi": c_hi,
+            "ani": _oracle_compare.ani_from_containment(c, k),
+        }
+        if pvals is not None:
+            row["p_value"] = float(pvals[g])
+        out.append(row)
     return out
 
 
@@ -1536,9 +1599,12 @@ def _screen_db_value_budget() -> int:
 
 
 def _screen_bitmap(index: SketchIndex, reads_path, flat: int,
-                   stats: Optional[dict]):
+                   stats: Optional[dict], kmv: Optional[list] = None):
     """Shared screen core: stream every read batch against the flat
-    value-sorted DB, return (flat_vals, gid, hit-bitmap np.bool_)."""
+    value-sorted DB, return (flat_vals, gid, hit-bitmap np.bool_).
+
+    kmv: optional single-element list holding the (hi, lo) KMV state for
+    the p-value column; updated in place per batch."""
     k = index.params.k
     flat_vals, gid = _flatten_db(index)
     if len(flat_vals) == 0:
@@ -1555,9 +1621,12 @@ def _screen_bitmap(index: SketchIndex, reads_path, flat: int,
         # prefetch thread: file IO + numpy packing of batch t+1 overlap the
         # (asynchronously dispatched) device screen of batch t
         for batch in _prefetch(_packed_read_batches(path, k, flat)):
+            dev_batch = jnp.asarray(batch)
             acc, n_valid, n_keep = _screen_update(
-                acc, db_hi, db_lo, thr_hi, thr_lo, jnp.asarray(batch), k,
+                acc, db_hi, db_lo, thr_hi, thr_lo, dev_batch, k,
                 index.params.compact, _screen_chunk(), _screen_join())
+            if kmv is not None:
+                kmv[0] = _kmv_update(*kmv[0], dev_batch, k, _KMV_S0)
             counters.append((n_valid, n_keep))
     if stats is not None:
         tot_windows = sum(int(v) for v, _ in counters)
@@ -1573,6 +1642,7 @@ def _screen_bitmap(index: SketchIndex, reads_path, flat: int,
 def screen(
     index: SketchIndex, reads_path, flat: int = DEFAULT_READ_FLAT,
     winner: bool = False, stats: Optional[dict] = None,
+    p_values: bool = False,
 ) -> List[dict]:
     """Containment of each DB genome's sketch in the read stream
     (SURVEY.md §3.3): c_g = |S(g) ∩ H(reads)| / |S(g)|.
@@ -1581,6 +1651,11 @@ def screen(
     winner=True switches to winner-takes-all hit attribution (`mash screen
     -w` analog).  When `stats` is a dict, prefilter observability is
     written into it: n_windows, n_survivors, survivor_rate, n_batches.
+    p_values=True adds a "p_value" column (the `mash screen` p-value
+    analog): chance probability of >= hits under a binomial null with the
+    read set's distinct-k-mer cardinality estimated by a bottom-s0 KMV
+    state carried across batches (oracle.compare.screen_p_value_vec;
+    multiplicity estimation is explicitly scoped out — see README).
 
     DBs whose flat planes exceed ~30% of HBM stream in GENOME SLABS
     (r4: the 102,400-genome config-5 DB OOM'd as one resident program):
@@ -1593,22 +1668,25 @@ def screen(
     re-screened per slab; survivors are summed across slabs)."""
     total_vals = int(index.sizes().sum())
     budget = _screen_db_value_budget()
+    kmv = [_kmv_init()] if p_values else None
     if total_vals > budget and len(index) > 1:
         return _screen_slabbed(index, reads_path, flat, winner, stats,
-                               budget)
-    flat_vals, gid, acc = _screen_bitmap(index, reads_path, flat, stats)
+                               budget, kmv)
+    flat_vals, gid, acc = _screen_bitmap(index, reads_path, flat, stats, kmv)
+    read_card = _kmv_estimate(kmv[0]) if kmv else None
     if len(flat_vals) == 0:
-        return _screen_rows(index, np.zeros(len(index), np.int64))
+        return _screen_rows(index, np.zeros(len(index), np.int64), read_card)
     if winner:
         hits = _hits_winner_takes_all(flat_vals, gid, acc, len(index),
                                       np.asarray(index.sizes()))
     else:
         hits = _hits_from_bitmap(flat_vals, gid, acc, len(index))
-    return _screen_rows(index, hits)
+    return _screen_rows(index, hits, read_card)
 
 
 def _screen_slabbed(index: SketchIndex, reads_path, flat: int, winner: bool,
-                    stats: Optional[dict], budget: int) -> List[dict]:
+                    stats: Optional[dict], budget: int,
+                    kmv: Optional[list] = None) -> List[dict]:
     sizes = index.sizes()
     slabs = []
     start, acc_v = 0, 0
@@ -1621,11 +1699,16 @@ def _screen_slabbed(index: SketchIndex, reads_path, flat: int, winner: bool,
     hits = np.zeros(len(index), np.int64)
     win_parts = []
     agg: dict = {}
+    first = True
     for i0, i1 in slabs:
         sub = SketchIndex(index.params, index.names[i0:i1],
                           index.hi[i0:i1], index.lo[i0:i1])
         st: Optional[dict] = {} if stats is not None else None
-        flat_vals, gid, acc = _screen_bitmap(sub, reads_path, flat, st)
+        # the KMV state is a property of the read stream alone: update it
+        # during the first slab's pass only (identical to unslabbed)
+        flat_vals, gid, acc = _screen_bitmap(sub, reads_path, flat, st,
+                                             kmv if first else None)
+        first = False
         if st:
             if not agg:
                 agg.update(st)
@@ -1654,7 +1737,8 @@ def _screen_slabbed(index: SketchIndex, reads_path, flat: int, winner: bool,
             hit_all = np.concatenate([h for _, _, h in win_parts])
             hits = _winner_from_hitall(vals, gids, hit_all, len(index),
                                        np.asarray(sizes))
-    return _screen_rows(index, hits)
+    return _screen_rows(index, hits,
+                        _kmv_estimate(kmv[0]) if kmv else None)
 
 
 def _winner_from_hitall(vals: np.ndarray, gid: np.ndarray,

@@ -104,12 +104,17 @@ def _load() -> Optional[ctypes.CDLL]:
         return None
     if not hasattr(lib, "mio_resolve_pairs"):
         # Stale pre-r4 build: rebuild once to pick up the resolve entry
-        # point (the IO surface is unchanged either way).
+        # point (the IO surface is unchanged either way).  Safe while the
+        # stale .so is dlopen'ed: the Makefile links to a temp file and
+        # atomically renames (the old inode stays mapped; the re-CDLL below
+        # opens the NEW dev:ino, so the fresh symbols are really picked up
+        # — ADVICE r4 medium).  If the rebuild or reload fails, degrade to
+        # has_resolve()==False on the working stale handle.
         if _try_build(so.parent):
             try:
                 lib = ctypes.CDLL(str(so))
             except OSError:
-                return None
+                pass  # keep the stale-but-working handle
     lib.mio_parse_file.argtypes = [ctypes.c_char_p, ctypes.POINTER(_MioResult)]
     lib.mio_parse_file.restype = ctypes.c_int
     lib.mio_free.argtypes = [ctypes.POINTER(_MioResult)]

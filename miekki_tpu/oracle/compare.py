@@ -139,6 +139,35 @@ def chance_p_value(shared: int, union: int, n1: float, n2: float, k: int) -> flo
     return float(chance_p_value_vec(shared, union, n1, n2, k))
 
 
+def screen_p_value_vec(hits, sizes, read_card: float, k: int) -> np.ndarray:
+    """Chance p-value for screen rows (the `mash screen` p-value analog;
+    reference formula unavailable — SURVEY.md §0 — so this is the dist
+    chance_p_value's null model specialized to containment).
+
+    Null model: the read set holds `read_card` distinct k-mers, uniform
+    over the 4^k space, so an UNRELATED genome's sketch hash appears in it
+    with probability q = read_card/4^k.  X ~ Binomial(sketch_size, q);
+    p = P(X >= hits) = I_q(hits, size - hits + 1) — same regularized
+    incomplete beta machinery (betainc_vec) as the dist column, so screen
+    and dist p-values share one numerical family."""
+    hits = np.asarray(hits, dtype=np.float64)
+    sizes = np.asarray(sizes, dtype=np.float64)
+    shape = np.broadcast_shapes(hits.shape, sizes.shape)
+    hits, sizes = (np.broadcast_to(x, shape).ravel() for x in (hits, sizes))
+    q = min(max(float(read_card) / 4.0 ** min(k, 200), 0.0), 1.0)
+    h = np.minimum(hits, sizes)
+    out = np.ones(hits.shape, dtype=np.float64)
+    live = hits > 0  # hits == 0 → p = 1.0
+    if q <= 0.0:
+        out[live] = 0.0
+    elif q < 1.0:
+        if np.any(live):
+            out[live] = np.clip(
+                betainc_vec(h[live], sizes[live] - h[live] + 1.0,
+                            np.full(int(live.sum()), q)), 0.0, 1.0)
+    return out.reshape(shape)
+
+
 def betainc_vec(a: np.ndarray, b: np.ndarray, x: np.ndarray) -> np.ndarray:
     """Regularized incomplete beta I_x(a, b), elementwise, via the standard
     Lentz continued fraction (Numerical Recipes 6.4 formulation; |rel err|

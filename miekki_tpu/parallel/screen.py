@@ -23,8 +23,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..engine import (
     DEFAULT_READ_FLAT,
+    _KMV_S0,
     _as_path_list,
     _flatten_db,
+    _kmv_estimate,
+    _kmv_init,
+    _kmv_update,
     _packed_read_batches,
     _screen_chunk,
     _screen_join,
@@ -140,17 +144,20 @@ def screen_sharded(
     db_axis: str | None = None,
     winner: bool = False,
     stats: dict | None = None,
+    p_values: bool = False,
 ) -> List[dict]:
     """Distributed analog of engine.screen — identical rows, reads streamed
     data-parallel across the mesh (BASELINE.json config 4 at host scale).
 
     With ``db_axis`` set (2-D mesh), the flat DB is additionally sharded
     along that axis so each device holds only M/D_db values — the pod-scale
-    layout where the whole sketch DB exceeds one chip's HBM.  winner/stats
-    as in engine.screen."""
+    layout where the whole sketch DB exceeds one chip's HBM.  winner/stats/
+    p_values as in engine.screen (the KMV state is a set union over the
+    read stream — grouping-independent, so p-values are bitwise identical
+    to the single-device rows)."""
     if db_axis is not None:
         return _screen_sharded_2d(index, reads_path, mesh, axis, db_axis,
-                                  flat, winner, stats)
+                                  flat, winner, stats, p_values)
     k = index.params.k
     flat_vals, gid = _flatten_db(index)
     if len(flat_vals) == 0:
@@ -163,16 +170,21 @@ def screen_sharded(
     d = mesh.shape[axis]
     acc = jnp.zeros(len(flat_vals) + 1, dtype=jnp.bool_)
     counters = []
+    kmv = [_kmv_init()] if p_values else None
     for group in _batch_groups(reads_path, k, flat, d):
+        dev_group = jnp.asarray(group)
         acc, nv, nk = screen_step_sharded(
-            acc, db_hi, db_lo, thr_hi, thr_lo, jnp.asarray(group),
+            acc, db_hi, db_lo, thr_hi, thr_lo, dev_group,
             k=k, mesh=mesh, axis=axis, compact=index.params.compact,
             chunk=_screen_chunk(), join=_screen_join(),
         )
+        if kmv is not None:
+            kmv[0] = _kmv_update(*kmv[0], dev_group, k, _KMV_S0)
         counters.append((nv, nk))
     _fill_stats(stats, counters)
     hits = _pick_hits(winner, flat_vals, gid, np.asarray(acc), index)
-    return _screen_rows(index, hits)
+    return _screen_rows(index, hits,
+                        _kmv_estimate(kmv[0]) if kmv else None)
 
 
 def _pick_hits(winner, flat_vals, gid, acc, index):
@@ -196,7 +208,7 @@ def _fill_stats(stats, counters):
 
 
 def _screen_sharded_2d(index, reads_path, mesh, data_axis, db_axis, flat,
-                       winner=False, stats=None):
+                       winner=False, stats=None, p_values=False):
     import numpy as np
 
     k = index.params.k
@@ -219,17 +231,22 @@ def _screen_sharded_2d(index, reads_path, mesh, data_axis, db_axis, flat,
     thr_lo = jnp.full(1, int(thr & np.uint64(0xFFFFFFFF)), jnp.uint32)
     acc = jnp.zeros((d_db, ms + 1), dtype=jnp.bool_)
     counters = []
+    kmv = [_kmv_init()] if p_values else None
     for group in _batch_groups(reads_path, k, flat, d_data):
+        dev_group = jnp.asarray(group)
         acc, nv, nk = screen_step_db_sharded(
-            acc, db_hi, db_lo, thr_hi, thr_lo, jnp.asarray(group),
+            acc, db_hi, db_lo, thr_hi, thr_lo, dev_group,
             k=k, mesh=mesh, data_axis=data_axis, db_axis=db_axis,
             compact=index.params.compact, chunk=_screen_chunk(),
             join=_screen_join(),
         )
+        if kmv is not None:
+            kmv[0] = _kmv_update(*kmv[0], dev_group, k, _KMV_S0)
         counters.append((nv, nk))
     _fill_stats(stats, counters)
     # reassemble the global bitmap: drop per-shard sinks, trim padding
     acc_np = np.asarray(acc)[:, :-1].reshape(-1)[:m]
     hits = _pick_hits(winner, flat_vals, gid,
                       np.concatenate([acc_np, [False]]), index)
-    return _screen_rows(index, hits)
+    return _screen_rows(index, hits,
+                        _kmv_estimate(kmv[0]) if kmv else None)

@@ -248,6 +248,95 @@ class TestScreenStats:
         assert got == sorted(r["hits"] for r in api)
 
 
+class TestScreenPValues:
+    """Optional p_value column (the `mash screen` p-value analog; scope
+    decision in README — multiplicity is explicitly out).  Null model and
+    KMV cardinality pinned by an independent numpy oracle."""
+
+    def _read_hash_set(self, index, reads):
+        k = index.params.k
+        lut = np.full(256, 4, np.uint8)
+        for b, c in zip(b"ACGT", range(4)):
+            lut[b] = c
+        hs = set()
+        for r in reads:
+            h = nthash.canonical_hashes(lut[np.frombuffer(r, np.uint8)], k)
+            hs.update(h[h != nthash.UINT64_MAX].tolist())
+        return np.array(sorted(hs), np.uint64)
+
+    def test_vs_oracle(self, screen_setup):
+        from miekki_tpu.oracle import compare as oc
+
+        index, dbp, fq, reads = screen_setup
+        rows = engine.screen(index, fq, p_values=True)
+        # independent read-set cardinality: exact distinct hash set,
+        # truncated to the engine's bottom-s0 KMV state
+        hashes = self._read_hash_set(index, reads)
+        s0 = engine._KMV_S0
+        card = oc.kmv_cardinality(hashes[:s0], s0) if len(hashes) >= s0 \
+            else float(len(hashes))
+        want = oc.screen_p_value_vec(
+            np.array([r["hits"] for r in rows]),
+            np.array([r["sketch_size"] for r in rows]),
+            card, index.params.k)
+        got = np.array([r["p_value"] for r in rows])
+        np.testing.assert_array_equal(got, want)
+        # sanity: genomes the reads came from are significant, and a
+        # zero-hit genome would be p=1
+        assert rows[0]["p_value"] < 1e-6
+        for r in rows:
+            if r["hits"] == 0:
+                assert r["p_value"] == 1.0
+
+    def test_binomial_tail_identity(self):
+        """I_q(h, n-h+1) == exact binomial survival P(X >= h) (small n)."""
+        from math import comb
+
+        from miekki_tpu.oracle import compare as oc
+
+        n, q = 40, 3e-3
+        for h in (1, 2, 5, 40):
+            want = sum(comb(n, i) * q**i * (1 - q) ** (n - i)
+                       for i in range(h, n + 1))
+            got = float(oc.screen_p_value_vec(
+                np.array([h]), np.array([n]), q * 4.0**17, 17)[0])
+            assert got == pytest.approx(want, rel=1e-9)
+
+    def test_sharded_parity(self, screen_setup):
+        from miekki_tpu.parallel import local_mesh, screen_sharded
+        from miekki_tpu.parallel.mesh import DATA_AXIS
+
+        index, dbp, fq, reads = screen_setup
+        single = engine.screen(index, fq, p_values=True)
+        sharded = screen_sharded(index, fq,
+                                 local_mesh(axis_names=(DATA_AXIS,)),
+                                 p_values=True)
+        assert single == sharded
+        mesh2 = local_mesh(shape=(4, 2), axis_names=(DATA_AXIS, "db"))
+        sharded2d = screen_sharded(index, fq, mesh2, db_axis="db",
+                                   p_values=True)
+        assert single == sharded2d
+
+    def test_slabbed_parity(self, screen_setup, monkeypatch):
+        index, dbp, fq, reads = screen_setup
+        ref = engine.screen(index, fq, p_values=True)
+        monkeypatch.setenv("MIEKKI_SCREEN_DB_VALS", "200")
+        got = engine.screen(index, fq, p_values=True)
+        assert got == ref
+
+    def test_cli_flag(self, screen_setup, tmp_path_factory):
+        index, dbp, fq, reads = screen_setup
+        tmp = tmp_path_factory.mktemp("pflag")
+        out = tmp / "out.tsv"
+        assert main(["screen", dbp, str(fq), "-p", "-o", str(out)]) == 0
+        lines = out.read_text().splitlines()
+        assert "p_value" in lines[0].split("\t")
+        api = engine.screen(index, fq, p_values=True)
+        pcol = lines[0].lstrip("#").split("\t").index("p_value")
+        got = sorted(float(ln.split("\t")[pcol]) for ln in lines[1:])
+        assert got == sorted(r["p_value"] for r in api)
+
+
 def test_screen_slabbed_bitwise_parity(tmp_path, monkeypatch):
     """Genome-slab streaming (DB beyond the device budget) must produce
     rows bit-identical to the one-pass screen, in BOTH plain and

@@ -70,13 +70,24 @@ def main():
     out = {"n": n, "s": s, "tile": tile, "pairs": pairs,
            "backend": jax.default_backend()}
 
-    for name, env in (("ring_mxu", "mxu"), ("ring_pallas", "pallas")):
-        os.environ["MIEKKI_INTERSECT"] = env
-        res = dist_sharded(idx, mesh, mxu_tile=tile)  # warmup/compile
+    # Truthful keys (VERDICT r4 weak #2): on a 1-device mesh
+    # MIEKKI_INTERSECT=mxu routes dist_sharded through the HOST-ORCHESTRATED
+    # bulk path (engine.dist_counts_matrix) — record it under that name.
+    # The genuinely TRACED mxu ring is forced via _traced_mxu=True and
+    # recorded separately, so neither number can be misread as the other.
+    cases = (
+        ("dist_sharded_bulk", dict(env="mxu", traced=False)),
+        ("ring_mxu_traced", dict(env="mxu", traced=True)),
+        ("ring_pallas", dict(env="pallas", traced=False)),
+    )
+    for name, cfg in cases:
+        os.environ["MIEKKI_INTERSECT"] = cfg["env"]
+        kw = dict(mxu_tile=tile, _traced_mxu=cfg["traced"])
+        res = dist_sharded(idx, mesh, **kw)  # warmup/compile
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            res = dist_sharded(idx, mesh, mxu_tile=tile)
+            res = dist_sharded(idx, mesh, **kw)
             times.append(time.perf_counter() - t0)
         times.sort()
         dt = times[len(times) // 2]
@@ -130,16 +141,17 @@ def main():
                                 "pairs": tri_pairs, "check_tri": total}
     print("host_mxu_dispatch", out["host_mxu_dispatch"], flush=True)
 
-    ratio = out["host_mxu_dispatch"]["pairs_per_s"] / out["ring_mxu"]["pairs_per_s"]
-    out["host_over_ring_ratio"] = ratio
-    out["ring_mxu_over_pallas"] = (out["ring_mxu"]["pairs_per_s"]
-                                   / out["ring_pallas"]["pairs_per_s"])
+    ratio = (out["host_mxu_dispatch"]["pairs_per_s"]
+             / out["ring_mxu_traced"]["pairs_per_s"])
+    out["host_over_traced_ring_ratio"] = ratio
+    out["traced_mxu_over_pallas"] = (out["ring_mxu_traced"]["pairs_per_s"]
+                                     / out["ring_pallas"]["pairs_per_s"])
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "artifacts", "mxu_ring_bench.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps({"host_over_ring_ratio": ratio,
-                      "ring_mxu_over_pallas": out["ring_mxu_over_pallas"]}))
+    print(json.dumps({"host_over_traced_ring_ratio": ratio,
+                      "traced_mxu_over_pallas": out["traced_mxu_over_pallas"]}))
 
 
 if __name__ == "__main__":
