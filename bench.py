@@ -110,142 +110,84 @@ def bench_sketch(k: int = 31, s: int = 10_000, chunk: int = 1 << 13,
     return bases / dt / 1e9
 
 
-def bench_pairs(s: int = 10_000, tile: int = 512) -> float:
-    """Sketch-pair comparisons/s through the tiled intersection path at the
-    production tile size (engine.DEFAULT_TILE), steady-state: when auto
-    resolves to the MXU stream-pass counter, the per-block sorted streams
-    are prebuilt exactly as engine.dist_tiles caches them (each block is
-    sorted once and reused across every tile it appears in — at nb blocks
-    the sort amortizes over nb tiles), so the timed region is the per-tile
-    cost that dominates an all-vs-all.  Per-dispatch fixed cost (~200 ms on
-    this tunnel) dominates small tiles — 128 measured 69k, 256 230k,
-    512 375k pairs/s on the pallas kernel.  Sketches are generated + sorted
-    on device (see bench_sketch note)."""
+def _family_index(n: int, s: int, seed: int = 1, compact: bool = False):
+    """FAMILY-structured sketch index with device planes attached exactly
+    as the production builder leaves them (engine._keep_device_planes).
+
+    Not uniform random: each member keeps ~8% of a conserved root (the
+    k=31 share rate of an 8%-mutated family, the BASELINE config-3/5
+    workload), so tile value-streams contain the long equal runs real
+    related genomes produce — uniform data has no runs and overstated the
+    banded kernel by ~2x vs the measured 10k-genome run."""
     import jax
     import jax.numpy as jnp
-    from miekki_tpu.ops import intersect as _intersect
+    from miekki_tpu.index.store import SketchIndex
+    from miekki_tpu.params import SketchParams
 
     @jax.jit
     def gen(key):
-        # FAMILY-structured sketches, not uniform random: each member keeps
-        # ~8% of a conserved root (the k=31 share rate of an 8%-mutated
-        # family, the BASELINE config-3/5 workload), so tile value-streams
-        # contain the long runs (~0.08 * 2 * tile slots) that real related
-        # genomes produce — uniform data has no runs and overstated the
-        # banded kernel by ~2x vs the measured 10k-genome run.
         kr, kp, km = jax.random.split(key, 3)
         root_hi = jax.random.bits(kr, (1, s), jnp.uint32) >> 1
         root_lo = jax.random.bits(jax.random.fold_in(kr, 1), (1, s),
                                   jnp.uint32)
-        keep = jax.random.uniform(km, (2 * tile, s)) < 0.08
-        priv_hi = jax.random.bits(kp, (2 * tile, s), jnp.uint32) >> 1
-        priv_lo = jax.random.bits(jax.random.fold_in(kp, 1), (2 * tile, s),
+        keep = jax.random.uniform(km, (n, s)) < 0.08
+        priv_hi = jax.random.bits(kp, (n, s), jnp.uint32) >> 1
+        priv_lo = jax.random.bits(jax.random.fold_in(kp, 1), (n, s),
                                   jnp.uint32)
         hi = jnp.where(keep, root_hi, priv_hi)
         lo = jnp.where(keep, root_lo, priv_lo)
         return jax.lax.sort((hi, lo), dimension=-1, num_keys=2)
 
-    hi, lo = gen(jax.random.PRNGKey(1))
-    _sync((hi, lo))
-    rows = (hi[:tile], lo[:tile])
-    cols = (hi[tile:], lo[tile:])
-    impl = _intersect._intersect_impl(tile)
-    if impl == "mxu":
-        # Mirror the PRODUCTION loop (r4 dist_counts_matrix): pipelined
-        # dispatches with deferred ambiguity resolution — per-tile
-        # finishes are one packed pull each, the lb != ub pairs of ALL
-        # tiles resolve at the end in one threaded native pass.  The r3
-        # synchronous per-tile form (dispatch → pull → resolve, serial)
-        # measured 408-415k pairs/s where the production loop sustains
-        # ~800k-1M on the same tiles.
-        from collections import deque
-
-        from miekki_tpu.ops import mxu_intersect as _mxu
-
-        rs = _mxu.sketch_stream(rows, False)
-        cs = _mxu.sketch_stream(cols, True)
-        rs2 = _mxu.sketch_stream(cols, False)  # swapped-role second tile
-        cs2 = _mxu.stream_with_col_tag(rs)
-        _sync((rs, cs, rs2, cs2))
-        rows_np = (np.asarray(rows[0]), np.asarray(rows[1]))
-        cols_np = (np.asarray(cols[0]), np.asarray(cols[1]))
-        jobs = [(rows, cols, rs, cs), (cols, rows, rs2, cs2)]
-        n_tiles = 8
-
-        def run_once():
-            pend = deque()
-            amb = []
-            for t in range(n_tiles):
-                r, c, a, b = jobs[t % 2]
-                pend.append((t % 2, _mxu.tile_counts_mxu_start(
-                    r, c, s, row_stream=a, col_stream=b)))
-                while len(pend) > 6:
-                    role, h = pend.popleft()
-                    _, ai, aj = _mxu.tile_counts_mxu_finish_deferred(h)
-                    amb.append((role, ai, aj))
-            while pend:
-                role, h = pend.popleft()
-                _, ai, aj = _mxu.tile_counts_mxu_finish_deferred(h)
-                amb.append((role, ai, aj))
-            # deferred resolution (native threaded two-pointer)
-            for role, ai, aj in amb:
-                if ai.size:
-                    a_np, b_np = ((rows_np, cols_np) if role == 0
-                                  else (cols_np, rows_np))
-                    _mxu.resolve_pairs_host(a_np, b_np, ai, aj, s)
-            return len(amb)
-
-        run_once()
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            run_once()
-            times.append(time.perf_counter() - t0)
-        times.sort()
-        dt = times[len(times) // 2] / n_tiles
+    dev_hi, dev_lo = gen(jax.random.PRNGKey(seed))
+    idx = SketchIndex(SketchParams(k=31, s=s),
+                      [f"g{i}" for i in range(n)],
+                      np.asarray(dev_hi), np.asarray(dev_lo))
+    if compact:
+        idx = idx.to_compact()
     else:
-        dt = _time(lambda: _intersect.tile_counts(rows, cols, s, impl))
-    return tile * tile / dt
+        idx.device_planes = (dev_hi, dev_lo)
+    return idx
 
 
-def bench_pairs_compact(s: int = 10_000, tile: int = 512) -> float:
+def _time_counts_matrix(idx, tile: int, trials: int = 3) -> float:
+    """Median wall seconds of engine.dist_counts_matrix — THE shipped bulk
+    path (pipelined dispatches, deferred ambiguity resolution, device-
+    resident planes when attached), so BENCH pair rates reflect production
+    throughput (VERDICT r4 #6), not a hand-rolled dispatch loop."""
+    from miekki_tpu import engine
+
+    engine.dist_counts_matrix(idx, tile=tile)  # warmup/compile
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        counts = engine.dist_counts_matrix(idx, tile=tile)
+        times.append(time.perf_counter() - t0)
+        del counts
+    times.sort()
+    return times[len(times) // 2]
+
+
+def bench_pairs(s: int = 10_000, n: int = 4096, tile: int = 512) -> float:
+    """Sketch-pair comparisons/s through the production bulk path
+    (engine.dist_counts_matrix) on an n-genome family index with device
+    planes — the same code path, pipeline depth, block cache, and deferred
+    native ambiguity resolution as the committed all-vs-all artifact
+    (artifacts/allvsall_10k_tpu.json), at bench-sized n.  Pair count =
+    upper triangle + diagonal, matching the artifact's accounting."""
+    idx = _family_index(n, s, seed=1)
+    dt = _time_counts_matrix(idx, tile)
+    return (n * (n + 1) // 2) / dt
+
+
+def bench_pairs_compact(s: int = 10_000, n: int = 2048,
+                        tile: int = 512) -> float:
     """Pair comparisons/s on COMPACT (single-plane uint32 code) sketches
-    through tile_counts_compact's Pallas kernel — half the merge ops and
-    VMEM of the u64 pair kernel (ops/compact.py, ops/pallas_intersect.py
-    tile_counts_pallas32)."""
-    import jax
-    import jax.numpy as jnp
-    from miekki_tpu.ops import intersect as _intersect
-
-    @jax.jit
-    def gen(key):
-        # family-structured codes (see bench_pairs): conserved root shared
-        # at the 8%-mutation rate, private values elsewhere
-        kr, kp, km = jax.random.split(key, 3)
-        root = jax.random.bits(kr, (1, s), jnp.uint32) >> 1
-        keep = jax.random.uniform(km, (2 * tile, s)) < 0.08
-        priv = jax.random.bits(kp, (2 * tile, s), jnp.uint32) >> 1
-        return jax.lax.sort(jnp.where(keep, root, priv), dimension=-1)
-
-    codes = gen(jax.random.PRNGKey(2))
-    _sync(codes)
-    rows, cols = codes[:tile], codes[tile:]
-    impl = _intersect._intersect_impl(tile)
-    if impl == "mxu":
-        # r4 single-plane stream pass: one (code, payload) 1-key sort per
-        # stream instead of deriving a fake lo plane and paying the full
-        # 3-plane u64 machinery.
-        from miekki_tpu.ops import mxu_intersect as _mxu
-
-        rs = _mxu.sketch_stream32(rows, False)
-        cs = _mxu.sketch_stream32(cols, True)
-        _sync((rs, cs))
-        dt = _time(lambda: _mxu.tile_counts_mxu_exact32(
-            rows, cols, s, row_stream=rs, col_stream=cs))
-    else:
-        dt = _time(lambda r, c: _intersect.tile_counts_compact(r, c, s, impl),
-                   rows, cols)
-    return tile * tile / dt
+    through the same production bulk path — the single-plane MXU stream
+    pass with half the block bytes (ops/compact.py, ops/mxu_intersect.py
+    *32 entry points)."""
+    idx = _family_index(n, s, seed=2, compact=True)
+    dt = _time_counts_matrix(idx, tile)
+    return (n * (n + 1) // 2) / dt
 
 
 def main() -> None:

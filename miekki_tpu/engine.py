@@ -277,20 +277,17 @@ def _build_index_from_codes(
 
 def _keep_device_planes(n: int, s: int) -> bool:
     """Retain on-device sketch planes when the [N, s] u64 table stays under
-    ~25% of HBM (leaves room for the compare phase's block cache and
-    in-flight tiles).  MIEKKI_KEEP_DEV=0|1 overrides."""
+    the unified planes budget (utils.hbm — the dist block cache sizes
+    itself around whatever is retained here, so the combination is bounded
+    by construction).  MIEKKI_KEEP_DEV=0|1 overrides."""
     env = os.environ.get("MIEKKI_KEEP_DEV")
     if env is not None:
         return env != "0"
     if jax.default_backend() == "cpu":
         return False  # host RAM == "device" memory; nothing to save
-    limit = 16 << 30
-    try:
-        stats = jax.devices()[0].memory_stats() or {}
-        limit = stats.get("bytes_limit") or limit
-    except Exception:
-        pass
-    return n * s * 8 <= limit * 0.25
+    from .utils import hbm as _hbm
+
+    return _hbm.keep_planes_ok(n * s * 8)
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -437,23 +434,6 @@ def dist_tiles(
     plane_bytes = 4 if compact else 8
     stream_bytes = (8 * 2 if compact else 12 * 2) if mxu else 0
     bytes_per_block = tile * s * (plane_bytes + stream_bytes)
-    cache_mb = _os.environ.get("MIEKKI_COL_CACHE_MB")
-    if cache_mb is not None:
-        cache_mb = int(cache_mb)
-    else:
-        # Default: ~40% of the device's HBM when discoverable (leaves room
-        # for the ~2 in-flight pipelined tiles' temporaries on smaller-HBM
-        # parts — ADVICE r3), else the 16 GB-chip-tuned 6144 MB.
-        cache_mb = 6144
-        try:
-            stats = jax.devices()[0].memory_stats() or {}
-            limit = stats.get("bytes_limit")
-            if limit:
-                cache_mb = max(512, int(limit * 0.4) >> 20)
-        except Exception:
-            pass
-    cache_cap = max(2, (cache_mb << 20) // max(1, bytes_per_block))
-    blk_cache: dict = {}
 
     # Device-resident source planes (attached by the builder): block loads
     # become on-device slices — no host→device transfer at all.  The
@@ -466,6 +446,30 @@ def dist_tiles(
 
     dev_a = _dev_planes(index_a)
     dev_b = dev_a if self_compare else _dev_planes(idx_b)
+
+    # Pipeline depth (tiles in flight beyond the one being finished) is
+    # resolved here because the cache budget accounts for it.
+    if depth is None:
+        depth = int(_os.environ.get("MIEKKI_PIPELINE", "1"))
+
+    cache_mb = _os.environ.get("MIEKKI_COL_CACHE_MB")
+    if cache_mb is not None:
+        cache_bytes = int(cache_mb) << 20
+    else:
+        # Unified budget (utils.hbm, VERDICT r4 #8): the cache gets what
+        # remains of the dist ceiling after the builder-retained planes
+        # and the in-flight pipelined passes, so the three can't stack
+        # past the ceiling on any HBM size.
+        from .utils import hbm as _hbm
+
+        resident = 0
+        for dv in {id(dev_a): dev_a, id(dev_b): dev_b}.values():
+            if dv is not None:
+                resident += int(dv[0].nbytes) * 2  # hi + lo planes
+        cache_bytes = _hbm.dist_cache_bytes(resident, depth,
+                                            bytes_per_block)
+    cache_cap = max(2, cache_bytes // max(1, bytes_per_block))
+    blk_cache: dict = {}
 
     def _dev_slice(dev, b: int):
         n = dev[0].shape[0]
@@ -524,16 +528,12 @@ def dist_tiles(
                       else _mxu.stream_with_col_tag(ent[1]))
         return ent[0], ent[2]
 
-    # Tiles in flight beyond the one being finished.  JAX dispatch is
-    # asynchronous: enqueueing tile t+1's pass (and its block upload/sort)
-    # BEFORE pulling tile t's counts lets the device compute while the
-    # host pays the tunnel transfer + ambiguity epilogue — the synchronous
-    # loop serialized all three (measured: 52.4M pairs sustained 360k/s vs
-    # 818k/s for the bare dispatch at tile 512).  Depth 1 = classic double
-    # buffering; 0 restores the synchronous order.
-    if depth is None:
-        depth = int(_os.environ.get("MIEKKI_PIPELINE", "1"))
-
+    # JAX dispatch is asynchronous: enqueueing tile t+1's pass (and its
+    # block upload/sort) BEFORE pulling tile t's counts lets the device
+    # compute while the host pays the tunnel transfer + ambiguity epilogue
+    # — the synchronous loop serialized all three (measured: 52.4M pairs
+    # sustained 360k/s vs 818k/s for the bare dispatch at tile 512).
+    # Depth 1 = classic double buffering; 0 restores synchronous order.
     def dispatch(bi: int, bj: int):
         rows, row_stream = row_block(bi)
         cols, col_stream = col_block(bj)
@@ -1325,6 +1325,84 @@ def _screen_update(acc, db_hi, db_lo, thr_hi, thr_lo, flat_codes, k: int,
                                flat_codes, k, compact, chunk, join)
 
 
+# ------------------------------------------------- grouped hash-once screen
+# r5 redesign (VERDICT r4 #2): for DBs beyond the merge-join budget the old
+# slabbed screen re-read AND re-hashed the whole read stream once per slab,
+# and the merge join re-SORTED the slab's DB values every batch (~56 s per
+# slab-pass at config-5 scale).  The grouped screen never sorts the DB on
+# device: each read batch is hashed and VALUE-SORTED once, so the survivors
+# of any group threshold are a PREFIX of the sorted stream, and each group
+# join is a chunked searchsorted probe of that prefix into the group's
+# resident (pre-sorted) planes — O(n_surv · log m) gathers instead of an
+# O((m+n) log(m+n)) 4-plane sort per batch per slab.
+
+
+@partial(jax.jit, static_argnames=("k", "compact"))
+def _hash_sorted_batch(flat_codes, k: int, compact: bool = False):
+    """Hash one packed read batch and value-sort the (hi, lo) stream.
+
+    Sorted ascending, INVALID windows (INF) last — survivors of ANY
+    threshold are then the prefix h <= thr, so one sort serves every
+    group's join.  compact=True maps hashes into the monotone 32-bit code
+    domain first (ops/compact.py), exactly as _screen_update_impl does.
+    Returns (hh, hl, n_valid)."""
+    h, _ = _hash.hash_windows(flat_codes, k)
+    n_valid = jnp.sum((~u64.is_inf(h)).astype(jnp.int32))
+    if compact:
+        from .ops import compact as _compact_ops
+
+        code = _compact_ops.encode_pair(h[0], h[1])
+        h = (code, _compact_ops.lo_plane(code))
+    hh, hl = jax.lax.sort(h, num_keys=2)
+    return hh, hl, n_valid
+
+
+@partial(jax.jit, static_argnames=("chunk",), donate_argnums=(0,))
+def _screen_join_sorted(acc, db_hi, db_lo, thr_hi, thr_lo, hh, hl,
+                        chunk: int):
+    """Join a value-sorted hash batch against one resident DB group.
+
+    Survivors (h <= thr, the group's max value) are the prefix
+    [0, n_keep); chunked searchsorted probes + scatter-max mark the hit
+    slots.  n_keep stays a device scalar (no host sync).  Bit-identical
+    to the merge/searchsorted joins on the same group (parity-tested)."""
+    m_db = db_hi.shape[0]
+    n = hh.shape[0]
+    keep = ~u64.less((thr_hi, thr_lo), (hh, hl))  # h <= thr (INF never)
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    b = min(chunk, n)
+    n_pad = -(-n // b) * b
+    if n_pad != n:
+        # INF-pad to a multiple of b: dynamic_slice CLAMPS out-of-range
+        # starts, which would desynchronize the in_range mask (ADVICE r1)
+        fill = jnp.full((n_pad - n,), 0xFFFFFFFF, dtype=hh.dtype)
+        hh = jnp.concatenate([hh, fill])
+        hl = jnp.concatenate([hl, fill])
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b,), 0)
+
+    def body(state):
+        off, acc = state
+        chs = (jax.lax.dynamic_slice(hh, (off,), (b,)),
+               jax.lax.dynamic_slice(hl, (off,), (b,)))
+        in_range = (pos + off) < n_keep
+        idx = _intersect.searchsorted_u64((db_hi, db_lo), chs)
+        probe = jnp.clip(idx, 0, max(m_db - 1, 0))
+        matched = (
+            (idx < m_db)
+            & u64.equal((db_hi[probe], db_lo[probe]), chs)
+            & in_range
+        )
+        target = jnp.where(matched, probe, m_db)
+        acc = acc.at[target].max(matched)
+        return off + b, acc
+
+    def cond(state):
+        return state[0] < n_keep
+
+    _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc))
+    return acc, n_keep
+
+
 _KMV_S0 = 4096  # bottom-s0 KMV state for the optional screen p-value
 # column: relative error of the read-set cardinality ~1/sqrt(s0) ≈ 1.6%
 
@@ -1578,24 +1656,23 @@ def _as_path_list(reads_path) -> List:
 
 
 def _screen_db_value_budget() -> int:
-    """Max flat-DB values resident on device for one screen pass.
+    """Max flat-DB values resident on device for one merge-join screen
+    pass.
 
     The merge-join screen program costs ~38 B/value END TO END (measured
     r4: 515M values compiled to 19.9 GB — the [m+n] 4-plane sort and the
     log-doubling flag propagation hold several copies, not just the
-    8 B/value planes; 1.03G values → 23 GB).  Budget ~10% of HBM in
-    VALUES so the whole program plus read batches stays well inside.
-    MIEKKI_SCREEN_DB_VALS overrides."""
+    8 B/value planes; 1.03G values → 23 GB).  Budget from the unified
+    helper (utils.hbm, ~10% of HBM in VALUES) so the whole program plus
+    read batches stays well inside.  MIEKKI_SCREEN_DB_VALS overrides —
+    and also caps the r5 grouped screen's group size (tests force tiny
+    groups through it)."""
     env = os.environ.get("MIEKKI_SCREEN_DB_VALS")
     if env:
         return max(1, int(env))
-    limit = 16 << 30
-    try:
-        stats = jax.devices()[0].memory_stats() or {}
-        limit = stats.get("bytes_limit") or limit
-    except Exception:
-        pass
-    return int(limit * 0.10) // 8
+    from .utils import hbm as _hbm
+
+    return _hbm.screen_merge_value_budget()
 
 
 def _screen_bitmap(index: SketchIndex, reads_path, flat: int,
@@ -1687,47 +1764,97 @@ def screen(
 def _screen_slabbed(index: SketchIndex, reads_path, flat: int, winner: bool,
                     stats: Optional[dict], budget: int,
                     kmv: Optional[list] = None) -> List[dict]:
+    """Grouped hash-once screen for DBs beyond the merge-join budget
+    (r5 redesign, VERDICT r4 #2 — replaces the slab-per-merge-pass form
+    that re-read, re-hashed, and re-SORTED per slab per batch).
+
+    The DB splits into contiguous genome GROUPS whose flat value-sorted
+    planes + hit bitmap stay device-resident for a whole read pass.  The
+    residency budget is utils.hbm.screen_resident_value_budget (~9 B/value
+    resident vs the merge join's ~38 B/value program — a 16 GB chip holds
+    ~1.07G values, the entire config-5 DB, in ONE group), overridable via
+    MIEKKI_SCREEN_DB_VALS (tests force multi-group).  Per group the read
+    stream is streamed once; each batch is hashed + value-sorted ONCE
+    (_hash_sorted_batch) and joined by a chunked searchsorted probe of its
+    survivor prefix (_screen_join_sorted) — the DB side is never sorted on
+    device.  With G > 1 groups the stream is re-read per group: re-hashing
+    on device is cheaper than caching hashes host-side (8 B/window to
+    re-upload vs 1 B/base to re-read — docs/DESIGN.md r5).
+
+    Rows are bit-identical to the one-pass screen: containment decomposes
+    exactly by genome subsets; winner mode merges per-group hit marks and
+    arbitrates globally.  Stats contract: n_windows/n_batches reflect one
+    group's read pass, n_survivors sums across groups, n_slabs = group
+    count.  Winner mode holds ~13 B/value host-side parts plus an argsort
+    across groups (ADVICE r4) — bounded by the now-small group count.
+    """
+    k = index.params.k
+    compact = index.params.compact
     sizes = index.sizes()
-    slabs = []
+    from .utils import hbm as _hbm
+
+    env = os.environ.get("MIEKKI_SCREEN_DB_VALS")
+    resident = max(1, int(env)) if env else _hbm.screen_resident_value_budget()
+    groups = []
     start, acc_v = 0, 0
     for i, v in enumerate(sizes):
-        if acc_v + int(v) > budget and i > start:
-            slabs.append((start, i))
+        if acc_v + int(v) > resident and i > start:
+            groups.append((start, i))
             start, acc_v = i, 0
         acc_v += int(v)
-    slabs.append((start, len(index)))
+    groups.append((start, len(index)))
     hits = np.zeros(len(index), np.int64)
     win_parts = []
     agg: dict = {}
-    first = True
-    for i0, i1 in slabs:
+    chunk = _screen_chunk()
+    kmv_done = False
+    for i0, i1 in groups:
         sub = SketchIndex(index.params, index.names[i0:i1],
                           index.hi[i0:i1], index.lo[i0:i1])
-        st: Optional[dict] = {} if stats is not None else None
-        # the KMV state is a property of the read stream alone: update it
-        # during the first slab's pass only (identical to unslabbed)
-        flat_vals, gid, acc = _screen_bitmap(sub, reads_path, flat, st,
-                                             kmv if first else None)
-        first = False
-        if st:
-            if not agg:
-                agg.update(st)
-            else:
-                agg["n_survivors"] += st["n_survivors"]
+        flat_vals, gid = _flatten_db(sub)
         if len(flat_vals) == 0:
             continue
+        db_hi = jnp.asarray((flat_vals >> np.uint64(32)).astype(np.uint32))
+        db_lo = jnp.asarray(
+            (flat_vals & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        thr = flat_vals[-1]
+        thr_hi = jnp.uint32(int(thr >> np.uint64(32)))
+        thr_lo = jnp.uint32(int(thr & np.uint64(0xFFFFFFFF)))
+        acc = jnp.zeros(len(flat_vals) + 1, dtype=jnp.bool_)
+        counters = []
+        for path in _as_path_list(reads_path):
+            for batch in _prefetch(_packed_read_batches(path, k, flat)):
+                dev_batch = jnp.asarray(batch)
+                hh, hl, n_valid = _hash_sorted_batch(dev_batch, k, compact)
+                acc, n_keep = _screen_join_sorted(
+                    acc, db_hi, db_lo, thr_hi, thr_lo, hh, hl, chunk)
+                if kmv is not None and not kmv_done:
+                    # the KMV state is a property of the read stream alone:
+                    # update it during the first streamed group only
+                    kmv[0] = _kmv_update(*kmv[0], dev_batch, k, _KMV_S0)
+                counters.append((n_valid, n_keep))
+        kmv_done = True
+        if stats is not None:
+            surv = sum(int(s_) for _, s_ in counters)
+            if not agg:
+                agg.update(
+                    n_windows=sum(int(v_) for v_, _ in counters),
+                    n_survivors=surv, n_batches=len(counters))
+            else:
+                agg["n_survivors"] += surv
+        acc_np = np.asarray(acc)
         if winner:
-            # per-slab hit marks propagated across equal-value runs; global
-            # arbitration happens after the loop
-            hit_first = acc[:-1]
+            # per-group hit marks propagated across equal-value runs;
+            # global arbitration happens after the loop
+            hit_first = acc_np[:-1]
             first_occ = np.searchsorted(flat_vals, flat_vals, side="left")
             win_parts.append((flat_vals, gid + i0, hit_first[first_occ]))
         else:
-            hits[i0:i1] = _hits_from_bitmap(flat_vals, gid, acc, i1 - i0)
+            hits[i0:i1] = _hits_from_bitmap(flat_vals, gid, acc_np, i1 - i0)
     if stats is not None and agg:
-        agg["n_slabs"] = len(slabs)
+        agg["n_slabs"] = len(groups)
         agg["survivor_rate"] = (agg["n_survivors"]
-                                / (agg["n_windows"] * len(slabs))
+                                / (agg["n_windows"] * len(groups))
                                 if agg.get("n_windows") else 0.0)
         stats.update(agg)
     if winner:
