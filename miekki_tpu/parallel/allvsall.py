@@ -430,31 +430,78 @@ def _dist_sharded_mxu(
     return {"shared": shared, "union": union, "inter": inter}
 
 
+def _hostring_side_blocks(idx: SketchIndex, devices, nl: int, compact: bool):
+    """Pad a side's planes to D*nl rows and place block d on devices[d].
+
+    Builder-attached device planes avoid the host upload for the initial
+    placement (device→device copies are DMA; host→device rides the
+    ~25 MB/s tunnel).  Returns per-device planes: (hi, lo) pairs, or a
+    single code plane for compact indexes."""
+    import jax
+    import jax.numpy as _jnp
+
+    D = len(devices)
+    n = len(idx)
+    n_pad = D * nl
+    dev = getattr(idx, "device_planes", None)
+    if dev is not None and not compact:
+        hi_src, lo_src = dev
+        if n_pad != n:
+            padv = _jnp.full((n_pad - n, hi_src.shape[1]),
+                             np.uint32(0xFFFFFFFF), _jnp.uint32)
+            hi_src = _jnp.concatenate([hi_src, padv])
+            lo_src = _jnp.concatenate([lo_src, padv])
+    else:
+        hi_src, lo_src = idx.hi, idx.lo
+        if n_pad != n:
+            pad = np.full((n_pad - n, hi_src.shape[1]), 0xFFFFFFFF,
+                          np.uint32)
+            hi_src = np.concatenate([hi_src, pad])
+            lo_src = np.concatenate([lo_src, pad])
+    out = []
+    for d in range(D):
+        sl = np.s_[d * nl:(d + 1) * nl]
+        if compact:
+            out.append(jax.device_put(hi_src[sl], devices[d]))
+        else:
+            out.append((jax.device_put(hi_src[sl], devices[d]),
+                        jax.device_put(lo_src[sl], devices[d])))
+    return out
+
+
 def dist_sharded_hostring(
     index_a: SketchIndex,
     devices=None,
     mxu_tile: int = _MXU_RING_TILE,
+    index_b: Optional[SketchIndex] = None,
 ) -> Dict[str, np.ndarray]:
-    """Host-orchestrated multi-device ring all-vs-all (self-comparison).
+    """Host-orchestrated multi-device ring comparison — the production
+    single-process multi-device path (r5; dist_sharded routes here).
 
     The third point in the design space measured in r4
     (`artifacts/mxu_ring_bench.json`): the fully-TRACED mxu ring keeps
     the collective inside one XLA program but compiles 7x slower code on
     this platform; the host-orchestrated BULK path has the fast dispatch
     granularity but is single-device.  This path combines them: every
-    device owns a row block whose sub-block streams are sorted once ON
+    device owns an A row block whose sub-block streams are sorted once ON
     that device; each ring step runs the small cached-compile mxu tile
     dispatches device-parallel (jax dispatch is async per device), while
     the column-role STREAMS rotate to the next device with explicit
     `jax.device_put` device-to-device copies (DMA over ICI on real
     hardware — the ring pattern, outside any traced program).  Ambiguity
     resolution is deferred across ALL steps and resolved once on the
-    host table (native two-pointer).  Bit-identical to dist_sharded
+    host table (native two-pointer).  Bit-identical to the traced rings
     (tested on the 8-device CPU mesh).
 
+    Self-comparison when index_b is None (full symmetric [N, N]);
+    rectangular A-vs-B otherwise ([N_a, N_b] — B's blocks rotate through
+    A's owners, n_a x n_b tile work).  Compact indexes run the
+    single-plane stream pass: half the rotation bytes and half the merge
+    ops (ops/mxu_intersect.py *32 entry points).
+
     On a real pod this maps to per-host orchestration of its local
-    chips; cross-host rotation would ride the same collective-permute
-    the traced ring uses.  Returns the full [N, N] count matrices.
+    chips; cross-host rotation rides the traced collective ring instead
+    (dist_sharded routes multi-process meshes there).
     """
     import jax
 
@@ -463,59 +510,63 @@ def dist_sharded_hostring(
     if devices is None:
         devices = jax.devices()
     D = len(devices)
+    self_compare = index_b is None
+    idx_b = index_a if self_compare else index_b
+    if index_b is not None:
+        index_a.params.validate_compatible(index_b.params)
+    compact = index_a.params.compact
     s = index_a.params.s
-    n = len(index_a)
-    tile = min(mxu_tile, max(1, n))
-    per_dev = -(-n // D)  # ceil rows per device
-    n_sub = max(1, -(-per_dev // tile))  # sub-blocks per device row block
-    nl = n_sub * tile  # rows per device (padded)
-    n_pad = D * nl
+    n_a, n_b = len(index_a), len(idx_b)
+    tile = min(mxu_tile, max(1, n_a, n_b))
 
-    # Builder-attached device planes avoid the host upload for the
-    # initial placement (device→device copies are DMA; host→device rides
-    # the ~25 MB/s tunnel).
-    dev = getattr(index_a, "device_planes", None)
-    if dev is not None and not index_a.params.compact:
-        import jax.numpy as _jnp
+    def side_geometry(n):
+        per_dev = -(-max(n, 1) // D)
+        n_sub = max(1, -(-per_dev // tile))
+        return n_sub, n_sub * tile
 
-        pad_rows = n_pad - n
-        hi_src, lo_src = dev
-        if pad_rows:
-            padv = _jnp.full((pad_rows, hi_src.shape[1]),
-                             np.uint32(0xFFFFFFFF), _jnp.uint32)
-            hi_src = _jnp.concatenate([hi_src, padv])
-            lo_src = _jnp.concatenate([lo_src, padv])
+    n_sub_a, nl_a = side_geometry(n_a)
+    n_sub_b, nl_b = (n_sub_a, nl_a) if self_compare else side_geometry(n_b)
+
+    def sub(planes, i):
+        sl = np.s_[i * tile:(i + 1) * tile]
+        return planes[sl] if compact else (planes[0][sl], planes[1][sl])
+
+    def row_stream(planes_sub):
+        return (_mxu.sketch_stream32(planes_sub, False) if compact
+                else _mxu.sketch_stream(planes_sub, False))
+
+    def start(rp, cp, rs, cs):
+        if compact:
+            return _mxu.tile_counts_mxu_start32(
+                rp, cp, s, row_stream=rs, col_stream=cs, slim=True)
+        return _mxu.tile_counts_mxu_start(
+            rp, cp, s, row_stream=rs, col_stream=cs, slim=True)
+
+    # A row blocks: planes + per-sub-block row streams, computed on the
+    # owning device (committed inputs pin the dispatch there).
+    row_planes = _hostring_side_blocks(index_a, devices, nl_a, compact)
+    row_streams = [[row_stream(sub(rp, i)) for i in range(n_sub_a)]
+                   for rp in row_planes]
+
+    # Rotating column state (B side): planes, col-role streams, origin.
+    if self_compare:
+        col_planes = list(row_planes)
+        tag = _mxu.stream_with_col_tag32 if compact \
+            else _mxu.stream_with_col_tag
+        # derive col streams from the already-sorted row streams (payload
+        # retag only — no second sort)
+        col_streams = [[tag(st) for st in subs] for subs in row_streams]
     else:
-        hi_src = index_a.hi
-        lo_src = index_a.lo
-        if n_pad != n:
-            pad = np.full((n_pad - n, hi_src.shape[1]), 0xFFFFFFFF,
-                          np.uint32)
-            hi_src = np.concatenate([hi_src, pad])
-            lo_src = np.concatenate([lo_src, pad])
-
-    # Per-device row blocks: planes + per-sub-block row/col streams, all
-    # computed on the owning device (committed inputs pin the dispatch).
-    row_planes = []
-    row_streams = []
-    for d in range(D):
-        ph = jax.device_put(hi_src[d * nl:(d + 1) * nl], devices[d])
-        pl = jax.device_put(lo_src[d * nl:(d + 1) * nl], devices[d])
-        row_planes.append((ph, pl))
-        subs = []
-        for i in range(n_sub):
-            sl = np.s_[i * tile:(i + 1) * tile]
-            subs.append(_mxu.sketch_stream((ph[sl], pl[sl]), False))
-        row_streams.append(subs)
-
-    # Rotating column state: (planes, per-sub-block col streams, origin).
-    col_planes = list(row_planes)
-    col_streams = [[_mxu.stream_with_col_tag(st) for st in subs]
-                   for subs in row_streams]
+        col_planes = _hostring_side_blocks(idx_b, devices, nl_b, compact)
+        col_streams = [
+            [(_mxu.sketch_stream32(sub(cp, j), True) if compact
+              else _mxu.sketch_stream(sub(cp, j), True))
+             for j in range(n_sub_b)]
+            for cp in col_planes]
     col_origin = list(range(D))
 
-    shared = np.zeros((n_pad, n_pad), np.int32)
-    inter = np.zeros((n_pad, n_pad), np.int32)
+    shared = np.zeros((D * nl_a, D * nl_b), np.int32)
+    inter = np.zeros((D * nl_a, D * nl_b), np.int32)
     amb_i_all: list = []
     amb_j_all: list = []
 
@@ -525,14 +576,10 @@ def dist_sharded_hostring(
             o = col_origin[d]
             rp = row_planes[d]
             cp = col_planes[d]
-            for i in range(n_sub):
-                ri = np.s_[i * tile:(i + 1) * tile]
-                for j in range(n_sub):
-                    cj = np.s_[j * tile:(j + 1) * tile]
-                    h = _mxu.tile_counts_mxu_start(
-                        (rp[0][ri], rp[1][ri]), (cp[0][cj], cp[1][cj]), s,
-                        row_stream=row_streams[d][i],
-                        col_stream=col_streams[d][j], slim=True)
+            for i in range(n_sub_a):
+                for j in range(n_sub_b):
+                    h = start(sub(rp, i), sub(cp, j),
+                              row_streams[d][i], col_streams[d][j])
                     handles.append((d, o, i, j, h))
         if t + 1 < D:
             # Rotate the column state for step t+1 NOW (async device-to-
@@ -545,26 +592,29 @@ def dist_sharded_hostring(
             col_origin = [col_origin[(d - 1) % D] for d in range(D)]
         for d, o, i, j, h in handles:
             res, ai, aj = _mxu.tile_counts_mxu_finish_deferred(h)
-            r0 = d * nl + i * tile
-            c0 = o * nl + j * tile
+            r0 = d * nl_a + i * tile
+            c0 = o * nl_b + j * tile
             shared[r0:r0 + tile, c0:c0 + tile] = res["shared_in_x"]
             inter[r0:r0 + tile, c0:c0 + tile] = res["inter_full"]
             if ai.size:
                 gi = r0 + ai
                 gj = c0 + aj
-                keep = (gi < n) & (gj < n)
+                keep = (gi < n_a) & (gj < n_b)
                 amb_i_all.append(gi[keep])
                 amb_j_all.append(gj[keep])
 
-    shared = shared[:n, :n]
-    inter = inter[:n, :n]
+    shared = shared[:n_a, :n_b]
+    inter = inter[:n_a, :n_b]
     if amb_i_all:
         ai = np.concatenate(amb_i_all)
         aj = np.concatenate(amb_j_all)
+        # in-memory compact indexes already carry the derived lo plane, so
+        # the u64 resolve applies unchanged (values are code << 32 | lo)
         shared[ai, aj] = _mxu.resolve_pairs_host(
-            (index_a.hi, index_a.lo), (index_a.hi, index_a.lo), ai, aj, s)
-    sz = index_a.sizes().astype(np.int64)
-    union = np.minimum(sz[:, None] + sz[None, :] - inter,
+            (index_a.hi, index_a.lo), (idx_b.hi, idx_b.lo), ai, aj, s)
+    sz_a = index_a.sizes().astype(np.int64)
+    sz_b = sz_a if self_compare else idx_b.sizes().astype(np.int64)
+    union = np.minimum(sz_a[:, None] + sz_b[None, :] - inter,
                        s).astype(np.int32)
     return {"shared": shared, "union": union, "inter": inter}
 
@@ -621,6 +671,21 @@ def dist_sharded(
         return _dist_sharded_mxu(index_a, mesh, axis, index_b, pad_to,
                                  mxu_tile or _MXU_RING_TILE,
                                  force_traced=_traced_mxu)
+
+    # r5 production routing (VERDICT r4 #5): single-process 1-axis meshes
+    # with D > 1 run the HOST-ORCHESTRATED device ring — explicit
+    # device_put rotation + small cached-compile mxu dispatches, measured
+    # 4.5x the traced pallas ring on the same workload
+    # (artifacts/mxu_ring_bench.json) — with ONE deferred native ambiguity
+    # resolve.  Multi-process meshes keep the traced collective rings (the
+    # host cannot device_put across processes); an explicit
+    # MIEKKI_INTERSECT=pallas|bitonic|searchsorted keeps the traced ring
+    # for comparison, and MIEKKI_INTERSECT=mxu (above) the traced mxu ring.
+    if (impl_env == "auto" and mesh.shape[axis] > 1
+            and len(mesh.shape) == 1 and jax.process_count() == 1):
+        return dist_sharded_hostring(index_a, list(mesh.devices.flat),
+                                     mxu_tile or _MXU_RING_TILE,
+                                     index_b=index_b)
 
     if index_a.params.compact:
         # single-plane ring: rotate only the code plane (half the

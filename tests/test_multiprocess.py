@@ -35,3 +35,21 @@ def test_fault_injection_resume():
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert "bitwise identical — PASS" in out.stdout
+
+
+def test_two_process_hostring():
+    """r5 hostring promotion (VERDICT r4 #5): per-process orchestration of
+    local devices + ONE traced ppermute collective for the cross-process
+    column rotation — each process bitwise-verifies its owned rows,
+    including deferred-ambiguity pairs."""
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "multiprocess_hostring_test.py")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "MIEKKI_HOSTRING_PORT": "9957"}
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(tool)], env=env,
+        capture_output=True, text=True, timeout=220,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "HOSTRING-MP OK" in out.stdout

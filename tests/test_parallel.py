@@ -156,6 +156,9 @@ def test_rect_ring_does_na_x_nb_tile_work(small_index, monkeypatch):
         return orig(rows, cols, s, impl=impl)
 
     monkeypatch.setattr(_intersect, "tile_counts", spy)
+    # pin the TRACED rectangular ring (auto now routes single-process
+    # multi-device meshes through the host-orchestrated ring, r5)
+    monkeypatch.setenv("MIEKKI_INTERSECT", "bitonic")
     mesh = local_mesh(axis_names=(DB_AXIS,))
     a = SketchIndex(small_index.params, small_index.names[:6],
                     small_index.hi[:6], small_index.lo[:6])
@@ -254,5 +257,51 @@ def test_hostring_matches_default_ring(family_index):
     mesh = local_mesh(axis_names=(DB_AXIS,))
     ref = dist_sharded(idx2, mesh)
     got = dist_sharded_hostring(idx2, mxu_tile=3)
+    for k in ("shared", "union", "inter"):
+        assert np.array_equal(ref[k], got[k]), k
+
+
+def test_hostring_rect_and_compact(family_index, monkeypatch):
+    """r5 hostring promotion (VERDICT r4 #5): rectangular A-vs-B and
+    compact single-plane forms must match the traced rings bitwise."""
+    from miekki_tpu.parallel.allvsall import dist_sharded_hostring
+
+    idx = family_index
+    mesh = local_mesh(axis_names=(DB_AXIS,))
+    monkeypatch.setenv("MIEKKI_INTERSECT", "bitonic")  # traced reference
+    a = SketchIndex(idx.params, idx.names[:10], idx.hi[:10], idx.lo[:10])
+    b = SketchIndex(idx.params, idx.names[10:], idx.hi[10:], idx.lo[10:])
+    ref_rect = dist_sharded(a, mesh, index_b=b)
+    cidx = idx.to_compact()
+    ref_cmp = dist_sharded(cidx, mesh)
+    monkeypatch.delenv("MIEKKI_INTERSECT")
+    got_rect = dist_sharded_hostring(a, mxu_tile=3, index_b=b)
+    got_cmp = dist_sharded_hostring(cidx, mxu_tile=3)
+    for k in ("shared", "union", "inter"):
+        assert np.array_equal(ref_rect[k], got_rect[k]), ("rect", k)
+        assert np.array_equal(ref_cmp[k], got_cmp[k]), ("compact", k)
+
+
+def test_dist_sharded_routes_hostring(family_index, monkeypatch):
+    """Production routing: on a single-process multi-device 1-axis mesh,
+    dist_sharded auto goes through the host-orchestrated ring and matches
+    the traced pallas ring bitwise (the VERDICT r4 #5 done-criterion; the
+    CLI --distributed path calls dist_sharded, so this covers it)."""
+    from miekki_tpu.parallel import allvsall
+
+    idx = family_index
+    mesh = local_mesh(axis_names=(DB_AXIS,))
+    calls = []
+    orig = allvsall.dist_sharded_hostring
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(allvsall, "dist_sharded_hostring", spy)
+    got = dist_sharded(idx, mesh)
+    assert calls, "auto routing must use the host-orchestrated ring"
+    monkeypatch.setenv("MIEKKI_INTERSECT", "bitonic")
+    ref = dist_sharded(idx, mesh)
     for k in ("shared", "union", "inter"):
         assert np.array_equal(ref[k], got[k]), k
