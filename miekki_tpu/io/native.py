@@ -38,6 +38,7 @@ class _MioResult(ctypes.Structure):
 
 _lib: Optional[ctypes.CDLL] = None
 _lib_checked = False
+_lib_lock = __import__("threading").Lock()
 
 
 def _try_build(native_dir: Path) -> bool:
@@ -88,7 +89,21 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib, _lib_checked
     if _lib_checked:
         return _lib
-    _lib_checked = True
+    with _lib_lock:
+        if _lib_checked:
+            return _lib
+        lib = _load_locked()
+        _lib = lib
+        # publish AFTER _lib is set: build_index parses files on a thread
+        # pool, and the old early `_lib_checked = True` let concurrent
+        # callers observe (checked=True, lib=None) mid-initialization —
+        # every file of the first build silently took the Python parser
+        # (found r5 while measuring threaded ingest)
+        _lib_checked = True
+        return _lib
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
     if os.environ.get("MIEKKI_NATIVE_IO", "1") == "0":
         return None
     so = Path(__file__).resolve().parents[2] / "native" / "libmiekki_io.so"
@@ -138,8 +153,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mio_resolve_pairs.restype = None
     except AttributeError:  # stale .so from before r4 — IO still works
         pass
-    _lib = lib
-    return _lib
+    return lib
 
 
 def has_resolve() -> bool:

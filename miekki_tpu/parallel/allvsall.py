@@ -474,6 +474,7 @@ def dist_sharded_hostring(
     devices=None,
     mxu_tile: int = _MXU_RING_TILE,
     index_b: Optional[SketchIndex] = None,
+    checkpoint: Optional[str] = None,
 ) -> Dict[str, np.ndarray]:
     """Host-orchestrated multi-device ring comparison — the production
     single-process multi-device path (r5; dist_sharded routes here).
@@ -502,6 +503,12 @@ def dist_sharded_hostring(
     On a real pod this maps to per-host orchestration of its local
     chips; cross-host rotation rides the traced collective ring instead
     (dist_sharded routes multi-process meshes there).
+
+    checkpoint: optional directory — after each ring step the running
+    count matrices + deferred-ambiguity lists are saved atomically
+    (hostring_step{t}.npz); a rerun resumes from the last complete step
+    by replaying only the (cheap) column rotations.  This is what makes
+    full-scale CPU-mesh validation runs interruptible (VERDICT r4 #9).
     """
     import jax
 
@@ -570,7 +577,34 @@ def dist_sharded_hostring(
     amb_i_all: list = []
     amb_j_all: list = []
 
+    start_t = 0
+    if checkpoint:
+        import os as _os2
+
+        _os2.makedirs(checkpoint, exist_ok=True)
+        for t in range(D - 1, -1, -1):
+            p = _os2.path.join(checkpoint, f"hostring_step{t}.npz")
+            if _os2.path.exists(p):
+                with np.load(p) as z:
+                    shared[:] = z["shared"]
+                    inter[:] = z["inter"]
+                    if z["amb_i"].size:
+                        amb_i_all.append(z["amb_i"])
+                        amb_j_all.append(z["amb_j"])
+                start_t = t + 1
+                break
+
     for t in range(D):
+        if t < start_t:
+            # resume: replay only the column rotation (cheap device
+            # copies) so step start_t sees the right block placement
+            if t + 1 < D:
+                col_planes = [jax.device_put(col_planes[(d - 1) % D],
+                                             devices[d]) for d in range(D)]
+                col_streams = [jax.device_put(col_streams[(d - 1) % D],
+                                              devices[d]) for d in range(D)]
+                col_origin = [col_origin[(d - 1) % D] for d in range(D)]
+            continue
         handles = []
         for d in range(D):
             o = col_origin[d]
@@ -602,6 +636,18 @@ def dist_sharded_hostring(
                 keep = (gi < n_a) & (gj < n_b)
                 amb_i_all.append(gi[keep])
                 amb_j_all.append(gj[keep])
+        if checkpoint:
+            import os as _os3
+
+            p = _os3.path.join(checkpoint, f"hostring_step{t}.npz")
+            tmp = p + ".tmp.npz"
+            np.savez(
+                tmp, shared=shared, inter=inter,
+                amb_i=(np.concatenate(amb_i_all) if amb_i_all
+                       else np.zeros(0, np.int64)),
+                amb_j=(np.concatenate(amb_j_all) if amb_j_all
+                       else np.zeros(0, np.int64)))
+            _os3.replace(tmp, p)
 
     shared = shared[:n_a, :n_b]
     inter = inter[:n_a, :n_b]

@@ -1,17 +1,22 @@
 """BASELINE config 5 at FULL contract scale (VERDICT r1 item 3): 10k-genome
-sketch DB (s=10k, k=31), sharded over an 8-device CPU mesh, chunked
-ppermute-ring all-vs-all with per-chunk checkpoints, verified against the
-single-device tile engine on sampled blocks.
+sketch DB (s=10k, k=31), sharded over an 8-device CPU mesh, ring all-vs-all
+with per-step checkpoints, verified against the single-device tile engine
+on sampled blocks.
 
-The ring runs through `parallel.allvsall.ring_chunk_counts` (the
-checkpointable production path exercised by the multi-process fault test),
-one ring step per chunk, each chunk's counts saved to the workdir — a crash
-resumes from the last complete chunk.  Verification: 8 random (row-block,
-column-block) pairs per chunk recomputed with the single-device
-`intersect.tile_counts` and compared exactly; plus diagonal and symmetry
-invariants on the assembled matrix.
+--method hostring (default, r5): the production single-process multi-device
+path (parallel.allvsall.dist_sharded_hostring — dist_sharded's own routing
+for this mesh shape), measured 12x the traced searchsorted ring on the CPU
+backend at s=10k (12.2k vs 1.0k pairs/s, n=512 probe) — full-s validation
+drops from a ~35 h extrapolation to ~2.5 h (VERDICT r4 #9).  Per-step
+checkpoints via dist_sharded_hostring(checkpoint=...); crash-resume replays
+only the column rotations.  Verification: random blocks of the final
+matrix recomputed with single-device `intersect.tile_counts` and compared
+exactly, plus diagonal and symmetry invariants.
 
-Run (takes hours on the 4-core CPU backend; nice it):
+--method ring: the r4 traced `ring_chunk_counts` path (kept for
+comparison; per-chunk checkpoints + per-chunk verification).
+
+Run (hours on the 4-core CPU backend; nice it):
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       nice -19 python tools/config5_full.py [--genomes 10240] [--s 10000]
 """
@@ -34,6 +39,10 @@ def main() -> int:
     ap.add_argument("--genome-len", type=int, default=30_000)
     ap.add_argument("--workdir", default="/tmp/miekki_config5_full")
     ap.add_argument("--out", default="artifacts/config5_full.json")
+    ap.add_argument("--method", choices=("hostring", "ring"),
+                    default="hostring")
+    ap.add_argument("--tile", type=int, default=64,
+                    help="hostring mxu sub-tile (64 measured best on cpu)")
     args = ap.parse_args()
 
     import jax
@@ -87,14 +96,74 @@ def main() -> int:
         print(f"[config5] sketched in {time.time()-t0:.0f}s", flush=True)
         idx.save(db_path)
 
-    hi = jnp.asarray(idx.hi)
-    lo = jnp.asarray(idx.lo)
     nl = n // D
     rng_v = np.random.default_rng(77)
 
+    if args.method == "hostring":
+        # ---- phase 2h: host-orchestrated device ring (the production
+        # single-process multi-device path), per-step checkpoints ----
+        from miekki_tpu.parallel.allvsall import dist_sharded_hostring
+
+        hi = jnp.asarray(idx.hi)
+        lo = jnp.asarray(idx.lo)
+        report = {"genomes": n, "s": args.s, "devices": D,
+                  "method": "hostring", "tile": args.tile}
+        t0 = time.time()
+        counts = dist_sharded_hostring(
+            idx, mxu_tile=args.tile,
+            checkpoint=os.path.join(args.workdir, "hostring_ckpt"))
+        dt = time.time() - t0
+        shared_m = counts["shared"]
+        pairs = n * n
+        report["compare_seconds"] = round(dt, 1)
+        report["pairs"] = pairs
+        report["pairs_per_s"] = round(pairs / dt, 1)
+        print(f"[config5] hostring {pairs} pairs in {dt:.0f}s "
+              f"({pairs/dt:.0f}/s)", flush=True)
+
+        # ---- phase 3h: spot verification + invariants ----
+        n_checked = 0
+        blk = 16
+        I_mod = I
+        for _ in range(64):
+            r0 = int(rng_v.integers(0, n - blk + 1))
+            c0 = int(rng_v.integers(0, n - blk + 1))
+            want = I_mod.tile_counts(
+                (hi[r0:r0 + blk], lo[r0:r0 + blk]),
+                (hi[c0:c0 + blk], lo[c0:c0 + blk]), args.s)
+            assert np.array_equal(
+                shared_m[r0:r0 + blk, c0:c0 + blk],
+                np.asarray(want["shared_in_x"])), (r0, c0)
+            assert np.array_equal(
+                counts["inter"][r0:r0 + blk, c0:c0 + blk],
+                np.asarray(want["inter_full"])), (r0, c0)
+            n_checked += blk * blk
+        sizes = idx.sizes()
+        diag_ok = bool(np.array_equal(
+            np.diagonal(shared_m), np.minimum(sizes, args.s)))
+        sym_ok = bool(np.array_equal(shared_m, shared_m.T))
+        report["verified_pairs"] = n_checked
+        report["diag_ok"] = diag_ok
+        report["sym_ok"] = sym_ok
+        report["total_seconds"] = round(time.time() - t_start, 1)
+        report["pass"] = bool(diag_ok and sym_ok)
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(json.dumps({"config": 5, "full": True,
+                          **{k2: report[k2] for k2 in
+                             ("pass", "genomes", "s", "devices",
+                              "pairs_per_s", "total_seconds")}}),
+              flush=True)
+        return 0 if report["pass"] else 1
+
+    hi = jnp.asarray(idx.hi)
+    lo = jnp.asarray(idx.lo)
+
     # ---- phase 2: chunked ring with checkpoints + per-chunk verification --
     chunk_files = []
-    report = {"genomes": n, "s": args.s, "devices": D, "chunks": []}
+    report = {"genomes": n, "s": args.s, "devices": D, "method": "ring",
+              "chunks": []}
     for t in range(D):
         cpath = os.path.join(args.workdir, f"ring_step{t}.npz")
         chunk_files.append(cpath)
