@@ -99,33 +99,49 @@ MAX_GENOME_BATCH = 16  # genomes vmapped per device call (power-of-2
 # _dispatches note in _build_index_from_codes).
 
 
-def _sketch_batch(rows3d: jax.Array, k: int, s: int) -> jax.Array:
+def _sketch_batch(rows3d: np.ndarray, k: int, s: int) -> jax.Array:
     """vmap of sketch_chunked over a [G, n, W] stack of same-shape genomes,
     returned as ONE stacked [2, G, s] (hi, lo) array so the host pays a
     single device→host transfer per batch (the tunnel charges ~40 ms fixed
     per transfer — docs/DESIGN.md round-3 facts).
+
+    Host codes are base-5 packed (3 codes/byte, io.encode.pack_base5) and
+    unpacked on device — the host→device transfer is the sketch-ingest
+    wall on this platform (~25 MB/s tunnel; PCIe hosts gain too), and the
+    unpack is two u8 div/mods fused into the hash prologue (r5).
 
     Env strategy vars are resolved here, outside jit, so the cache is keyed
     on them (ADVICE r1)."""
     import os as _os
 
     cap0 = int(_os.environ.get("MIEKKI_TREE_CAP0", "0")) or _sketch.TREE_CAP0
+    w = rows3d.shape[-1]
+    packed = _encode.pack_base5(np.asarray(rows3d))
     return _sketch_batch_jit(
-        rows3d, k, s, _sketch._env_merge_strategy(),
+        jnp.asarray(packed), w, k, s, _sketch._env_merge_strategy(),
         _sketch._env_hash_impl(), _sketch._env_fused_levels(), cap0,
     )
 
 
-@partial(jax.jit, static_argnames=("k", "s", "strategy", "hash_impl",
+@partial(jax.jit, static_argnames=("w", "k", "s", "strategy", "hash_impl",
                                    "fused_levels", "cap0"))
-def _sketch_batch_jit(rows3d: jax.Array, k: int, s: int, strategy: str,
-                      hash_impl: str, fused_levels: int,
+def _sketch_batch_jit(packed3d: jax.Array, w: int, k: int, s: int,
+                      strategy: str, hash_impl: str, fused_levels: int,
                       cap0: int) -> jax.Array:
+    rows3d = _unpack_base5(packed3d, w)
     hi, lo = jax.vmap(
         lambda r: _sketch._sketch_chunked(r, k, s, 0, strategy, hash_impl,
                                           fused_levels, cap0)
     )(rows3d)
     return jnp.stack([hi, lo])
+
+
+def _unpack_base5(packed, w: int):
+    """Device-side inverse of io.encode.pack_base5 along the last axis."""
+    d0 = packed // 25
+    r = packed % 25
+    tri = jnp.stack([d0, r // 5, r % 5], axis=-1)
+    return tri.reshape(packed.shape[:-1] + (-1,))[..., :w]
 
 
 def build_index_per_record(
@@ -241,7 +257,7 @@ def _build_index_from_codes(
                                     np.uint8)
                     for gi, i in enumerate(grp):
                         stack[gi] = rows_per_genome[i]
-                    yield grp, _sketch_batch(jnp.asarray(stack), k, s)
+                    yield grp, _sketch_batch(stack, k, s)
 
         # Retain the device-side batch outputs when the whole table fits
         # comfortably in HBM: the rows ARE the final sketches (sorted,

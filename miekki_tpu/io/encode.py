@@ -21,6 +21,26 @@ for _ch, _code in (("A", 0), ("C", 1), ("G", 2), ("T", 3)):
 SEPARATOR_CODE = INVALID_CODE  # inserted between records in packed streams
 
 
+def pack_base5(codes: np.ndarray) -> np.ndarray:
+    """Pack a code array (values 0..4 — ACGT + INVALID) 3 codes per byte
+    along the LAST axis (base-5 digits: b = 25*c0 + 5*c1 + c2 <= 124).
+
+    The host→device transfer of the sketch pipeline then carries 1/3 the
+    bytes of raw uint8 codes — exact (INVALID survives, unlike 2-bit
+    packing), cheap on both ends (one fused multiply-add host-side, two
+    div/mods device-side), and bit-identical end to end (tested).  The
+    last axis is INVALID-padded to a multiple of 3 first; the unpacker
+    trims with the original width."""
+    w = codes.shape[-1]
+    wp = -(-w // 3) * 3
+    if wp != w:
+        pad = [(0, 0)] * (codes.ndim - 1) + [(0, wp - w)]
+        codes = np.pad(codes, pad, constant_values=INVALID_CODE)
+    tri = codes.reshape(codes.shape[:-1] + (wp // 3, 3))
+    return (tri[..., 0] * np.uint8(25) + tri[..., 1] * np.uint8(5)
+            + tri[..., 2])
+
+
 def encode(seq: bytes | bytearray | memoryview | np.ndarray) -> np.ndarray:
     """ASCII sequence bytes → uint8 codes in {0..4}."""
     buf = np.frombuffer(bytes(seq), dtype=np.uint8) if not isinstance(seq, np.ndarray) else seq

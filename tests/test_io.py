@@ -148,3 +148,46 @@ def test_incompatible_params_refused(tmp_path):
         SketchParams(k=65)
     with pytest.raises(ValueError):
         SketchParams(s=0)
+
+
+def test_base5_pack_roundtrip():
+    """pack_base5 (host) ∘ _unpack_base5 (device) is exact for every code
+    value incl. INVALID, any width mod 3, and batched shapes."""
+    import numpy as np
+
+    from miekki_tpu.io import encode as enc
+    from miekki_tpu import engine
+
+    rng = np.random.default_rng(9)
+    for shape in ((7,), (31,), (2, 3, 17), (4, 48)):
+        codes = rng.integers(0, 5, size=shape).astype(np.uint8)
+        packed = enc.pack_base5(codes)
+        assert packed.dtype == np.uint8
+        assert packed.shape[-1] == -(-shape[-1] // 3)
+        out = np.asarray(engine._unpack_base5(packed, shape[-1]))
+        np.testing.assert_array_equal(out, codes)
+
+
+def test_build_index_packed_upload_bitwise(tmp_path):
+    """The base-5 packed upload path must leave build_index output
+    bit-identical to per-genome unbatched sketching (batch=1 path skips
+    packing)."""
+    import numpy as np
+
+    from miekki_tpu import engine
+    from miekki_tpu.params import SketchParams
+
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import make_genome_family, write_fasta
+
+    rng = np.random.default_rng(17)
+    genomes = make_genome_family(rng, 5, 4000, sub_rate=0.05)
+    paths = [str(write_fasta(tmp_path / f"g{i}.fa", [(f"g{i}", g)]))
+             for i, g in enumerate(genomes)]
+    params = SketchParams(k=21, s=128)
+    batched = engine.build_index(paths, params)          # packed upload
+    unbatched = engine.build_index(paths, params, batch=1)  # raw codes
+    for i in range(len(paths)):
+        np.testing.assert_array_equal(batched.sketch_u64(i),
+                                      unbatched.sketch_u64(i))
