@@ -451,14 +451,15 @@ def dist_tiles(
     stream_bytes = (8 * 2 if compact else 12 * 2) if mxu else 0
     bytes_per_block = tile * s * (plane_bytes + stream_bytes)
 
-    # Device-resident source planes (attached by the builder): block loads
-    # become on-device slices — no host→device transfer at all.  The
-    # planes are unpadded [N, s]; edge blocks INF-pad on device.
+    # Device-resident source planes (attached by the builder, or by tools
+    # whose DB was born on device): block loads become on-device slices —
+    # no host→device transfer at all.  The planes are unpadded [N, s];
+    # edge blocks INF-pad on device.  u64 indexes carry an (hi, lo) pair;
+    # compact indexes carry a single [N, s] code-plane array (r5 — the
+    # scale100k dist phase was tunnel-bound re-uploading an 8.2 GB DB the
+    # tool had just generated on device).
     def _dev_planes(idx):
-        dev = getattr(idx, "device_planes", None)
-        if dev is None or compact:
-            return None
-        return dev
+        return getattr(idx, "device_planes", None)
 
     dev_a = _dev_planes(index_a)
     dev_b = dev_a if self_compare else _dev_planes(idx_b)
@@ -480,14 +481,27 @@ def dist_tiles(
 
         resident = 0
         for dv in {id(dev_a): dev_a, id(dev_b): dev_b}.values():
-            if dv is not None:
+            if dv is None:
+                continue
+            if isinstance(dv, tuple):
                 resident += int(dv[0].nbytes) * 2  # hi + lo planes
+            else:
+                resident += int(dv.nbytes)  # compact single code plane
         cache_bytes = _hbm.dist_cache_bytes(resident, depth,
                                             bytes_per_block)
     cache_cap = max(2, cache_bytes // max(1, bytes_per_block))
     blk_cache: dict = {}
 
     def _dev_slice(dev, b: int):
+        if compact:
+            codes = dev if not isinstance(dev, tuple) else dev[0]
+            n = codes.shape[0]
+            r0, r1 = b * tile, min((b + 1) * tile, n)
+            blk = codes[r0:r1]
+            if r1 - r0 < tile:
+                blk = jnp.pad(blk, ((0, tile - (r1 - r0)), (0, 0)),
+                              constant_values=np.uint32(0xFFFFFFFF))
+            return blk
         n = dev[0].shape[0]
         r0, r1 = b * tile, min((b + 1) * tile, n)
         hi = dev[0][r0:r1]

@@ -147,6 +147,22 @@ def encode_pair(hi: jax.Array, lo: jax.Array) -> jax.Array:
     return jnp.where(inf, jnp.uint32(0xFFFFFFFF), code)
 
 
+@jax.jit
+def compact_rows(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """Device-side row compaction: sorted (hi, lo) sketch rows → sorted
+    deduplicated uint32 code rows, bit-identical to
+    SketchIndex.to_compact's host pipeline (encode → within-row dup →
+    sentinel → re-sort; parity-tested).  Lets a DB that was GENERATED on
+    device become a compact device-resident table without ever crossing
+    the host link (tools/scale100k_tpu.py r5)."""
+    codes = encode_pair(hi, lo)
+    dup = jnp.concatenate(
+        [jnp.zeros_like(codes[..., :1], jnp.bool_),
+         codes[..., 1:] == codes[..., :-1]], axis=-1)
+    codes = jnp.where(dup, jnp.uint32(0xFFFFFFFF), codes)
+    return jax.lax.sort(codes, dimension=-1)
+
+
 def lo_plane_np(codes: np.ndarray) -> np.ndarray:
     """Host: the derived lo plane for compact codes — 0 for values, INF for
     the sentinel (one definition; used by store save/load and the engine)."""

@@ -445,3 +445,57 @@ def test_cardinalities_vectorized_matches_scalar(raw_index):
             q = float(v[-1]) / 2.0 ** 64
             want_c[i] = j / max(2.0 * q - q * q, 1e-300) - 1.0
     np.testing.assert_array_equal(got_c, want_c)
+
+
+def test_compact_device_planes_dist(monkeypatch):
+    """r5: a compact index whose code plane is device-resident
+    (device_planes = single [N, s] array) must produce bit-identical
+    dist_counts_matrix output to the host-plane path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from miekki_tpu import engine
+    from miekki_tpu.index.store import SketchIndex
+    from miekki_tpu.params import SketchParams
+
+    rng = np.random.default_rng(21)
+    n, s = 12, 96
+    pool = np.unique(rng.integers(0, 2**60, size=4 * s, dtype=np.uint64))
+    sk = np.stack([np.sort(rng.choice(pool, size=s, replace=False))
+                   for _ in range(n)])
+    hi = (sk >> np.uint64(32)).astype(np.uint32)
+    lo = (sk & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    idx = SketchIndex(SketchParams(k=31, s=s),
+                      [f"g{i}" for i in range(n)], hi, lo).to_compact()
+    ref = engine.dist_counts_matrix(idx, tile=5)
+    idx.device_planes = jnp.asarray(idx.hi)
+    got = engine.dist_counts_matrix(idx, tile=5)
+    for key in ("shared", "union", "inter"):
+        assert np.array_equal(ref[key], got[key]), key
+
+
+def test_compact_rows_matches_to_compact():
+    """Device compact_rows == host to_compact bitwise (encode + within-row
+    dedup + re-sort), including sentinel-padded short rows."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from miekki_tpu.index.store import SketchIndex
+    from miekki_tpu.ops import compact as C
+    from miekki_tpu.params import SketchParams
+
+    rng = np.random.default_rng(33)
+    n, s = 16, 128
+    # near-adjacent values force code collisions (the dedup path)
+    base = rng.integers(0, 2**40, size=(n, s // 2), dtype=np.uint64)
+    vals = np.concatenate([base, base + rng.integers(1, 3, base.shape,
+                                                     dtype=np.uint64)],
+                          axis=1)
+    vals = np.sort(vals, axis=1)
+    vals[3, 100:] = np.uint64(0xFFFFFFFFFFFFFFFF)  # short sketch
+    hi = (vals >> np.uint64(32)).astype(np.uint32)
+    lo = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    want = SketchIndex(SketchParams(k=31, s=s),
+                       [f"g{i}" for i in range(n)], hi, lo).to_compact()
+    got = np.asarray(C.compact_rows(jnp.asarray(hi), jnp.asarray(lo)))
+    np.testing.assert_array_equal(got, want.hi)

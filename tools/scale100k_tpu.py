@@ -5,14 +5,21 @@ through the production comparison + screening paths on the real TPU.
 The pod itself (v5p-16, N>=2 hosts) is not available on this machine, so
 this demonstrates the DB-scale mechanics that don't need one:
 
-  A. rectangular dist: 256 queries vs the full 102,400-genome DB through
-     dist_tiles (26.2M pairs, Pallas tile kernel), spot-verified against
-     the independent bitonic-XLA implementation, with identity invariants
-     on the 128 real genomes embedded in the DB;
+  A. rectangular dist: 256 queries vs the full 102,400-genome DB on
+     COMPACT single-plane fingerprints whose code table is built and kept
+     ON DEVICE during synthesis (ops.compact.compact_rows + donated
+     dynamic_update_slice — the r4 u64 run streamed the 8.2 GB
+     host-resident DB through the ~25 MB/s tunnel at 109k pairs/s;
+     VERDICT r4 #4), spot-verified against the independent compact
+     bitonic-XLA implementation, identity invariants on the embedded real
+     genomes, and the compact-vs-u64 collision bias revalidated on
+     sampled slices at this scale.  --dist-u64 additionally reruns the r4
+     u64 host-plane phase for comparison;
   B. production screen: reads sampled from 3 of the real genomes screened
-     against the full DB (1.024G flat sketch values resident on device),
-     asserting the 3 sources are the top hits with containment ~1, other
-     genomes ~0, and the prefilter survivor-rate metric is emitted.
+     against the full DB (1.024G flat sketch values — the r5 grouped
+     hash-once screen), asserting the 3 sources are the top hits with
+     containment ~1, other genomes ~0, and the survivor-rate metric is
+     emitted.
 
 DB synthesis: 128 REAL genomes (0.5 Mbase each, sketched through the
 production pipeline) + 102,272 synthetic sketches drawn uniform in
@@ -34,14 +41,24 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import numpy as np
 
 
-def synth_sketches(n, s, chunk=4096, seed=7):
-    """[n, s] sorted-ascending synthetic sketch planes, values < 2^58.
+def synth_db_device(n, n_real, real_codes, s, chunk=4096, seed=7,
+                    pull_planes=True, pull_codes=True):
+    """Synthesize the (n - n_real)-row synthetic tail of the DB ON DEVICE
+    (values uniform in [0, 2^58) — the bottom-10k range of a ~0.5-Mbase
+    genome) and build the full-DB COMPACT code table device-resident as it
+    goes (ops.compact.compact_rows + donated dynamic_update_slice — no
+    8 GB host link crossing; VERDICT r4 #4).
 
-    Generated and sorted ON DEVICE: this machine's numpy BitGenerator
+    Generation is deterministic (seed): reruns with cached host planes
+    still rebuild the identical device table in seconds.  Returns
+    (syn_hi, syn_lo, syn_codes — host arrays or None if not pulled,
+    dev_codes — device uint32 [n, s]).  This machine's numpy BitGenerator
     streams ~3 MB/s (a 1G-value table would take ~45 min of host CPU);
-    jax.random.bits + lax.sort produce the same thing in seconds."""
+    jax.random.bits + lax.sort produce the same table in seconds."""
     import jax
     import jax.numpy as jnp
+
+    from miekki_tpu.ops import compact as C
 
     @jax.jit
     def gen(key):
@@ -49,17 +66,31 @@ def synth_sketches(n, s, chunk=4096, seed=7):
         # hi gets 26 random bits -> values uniform in [0, 2^58)
         h = jax.random.bits(k1, (chunk, s), jnp.uint32) >> 6
         l = jax.random.bits(k2, (chunk, s), jnp.uint32)
-        return jax.lax.sort((h, l), dimension=-1, num_keys=2)
+        h, l = jax.lax.sort((h, l), dimension=-1, num_keys=2)
+        return h, l, C.compact_rows(h, l)
 
-    hi = np.empty((n, s), np.uint32)
-    lo = np.empty((n, s), np.uint32)
-    keys = jax.random.split(jax.random.PRNGKey(seed), -(-n // chunk))
-    for i, o in enumerate(range(0, n, chunk)):
-        c = min(chunk, n - o)
-        h, l = gen(keys[i])
-        hi[o : o + c] = np.asarray(h)[:c]
-        lo[o : o + c] = np.asarray(l)[:c]
-    return hi, lo
+    dus = jax.jit(
+        lambda big, rows, off: jax.lax.dynamic_update_slice(
+            big, rows, (off, 0)),
+        donate_argnums=(0,))
+    dev_codes = jnp.full((n, s), np.uint32(0xFFFFFFFF), jnp.uint32)
+    dev_codes = dus(dev_codes, jnp.asarray(real_codes), jnp.int32(0))
+    n_syn = n - n_real
+    syn_hi = np.empty((n_syn, s), np.uint32) if pull_planes else None
+    syn_lo = np.empty((n_syn, s), np.uint32) if pull_planes else None
+    syn_codes = np.empty((n_syn, s), np.uint32) if pull_codes else None
+    keys = jax.random.split(jax.random.PRNGKey(seed), -(-n_syn // chunk))
+    for i, o in enumerate(range(0, n_syn, chunk)):
+        c = min(chunk, n_syn - o)
+        h, l, cd = gen(keys[i])
+        if pull_planes:
+            syn_hi[o:o + c] = np.asarray(h)[:c]
+            syn_lo[o:o + c] = np.asarray(l)[:c]
+        if pull_codes:
+            syn_codes[o:o + c] = np.asarray(cd)[:c]
+        dev_codes = dus(dev_codes, cd[:c] if c < chunk else cd,
+                        jnp.int32(n_real + o))
+    return syn_hi, syn_lo, syn_codes, dev_codes
 
 
 def main() -> int:
@@ -76,11 +107,14 @@ def main() -> int:
     ap.add_argument("--out", default="artifacts/scale100k_tpu.json")
     ap.add_argument("--skip-dist", action="store_true",
                     help="run only the screen phase (phase B)")
+    ap.add_argument("--dist-u64", action="store_true",
+                    help="also rerun the r4 u64 host-plane dist phase")
     args = ap.parse_args()
 
     from pathlib import Path
 
     import jax
+    import jax.numpy as jnp
 
     from miekki_tpu.utils import compile_cache
 
@@ -115,87 +149,145 @@ def main() -> int:
           flush=True)
 
     t0 = time.time()
+    import dataclasses
+
+    from miekki_tpu.ops import compact as C
+
+    real32 = real_idx.to_compact()
     # Synthetic planes are deterministic (seed 7) — cache them in the
-    # workdir so retries skip the ~30 min device generation + download.
+    # workdir so retries skip the download; the device code table is
+    # rebuilt on device either way (seconds, no host link).
     cache_hi = Path(args.workdir) / f"syn_hi_{n - n_real}x{s}.npy"
     cache_lo = Path(args.workdir) / f"syn_lo_{n - n_real}x{s}.npy"
-    if cache_hi.exists() and cache_lo.exists():
+    cache_cd = Path(args.workdir) / f"syn_cd_{n - n_real}x{s}.npy"
+    have = cache_hi.exists() and cache_lo.exists() and cache_cd.exists()
+    syn_hi2, syn_lo2, syn_cd2, dev_codes = synth_db_device(
+        n, n_real, real32.hi, s, pull_planes=not have,
+        pull_codes=not have)
+    if have:
         syn_hi = np.load(cache_hi, mmap_mode="r")
         syn_lo = np.load(cache_lo, mmap_mode="r")
+        syn_cd = np.load(cache_cd, mmap_mode="r")
         print("[100k] loaded cached synthetic planes", flush=True)
     else:
-        syn_hi, syn_lo = synth_sketches(n - n_real, s)
+        syn_hi, syn_lo, syn_cd = syn_hi2, syn_lo2, syn_cd2
         np.save(cache_hi, syn_hi)
         np.save(cache_lo, syn_lo)
+        np.save(cache_cd, syn_cd)
     hi = np.concatenate([real_idx.hi, syn_hi])
     lo = np.concatenate([real_idx.lo, syn_lo])
-    del syn_hi, syn_lo
+    codes_host = np.concatenate([real32.hi, syn_cd])
+    del syn_hi, syn_lo, syn_cd, syn_hi2, syn_lo2, syn_cd2
     names = real_idx.names + [f"syn{i}" for i in range(n - n_real)]
     index = SketchIndex(params, names, hi, lo)
+    params32 = dataclasses.replace(params, compact=True)
+    index32 = SketchIndex(params32, names, codes_host,
+                          C.lo_plane_np(codes_host))
+    index32.device_planes = dev_codes
     report["synth_seconds"] = round(time.time() - t0, 1)
     report["db_bytes"] = int(hi.nbytes + lo.nbytes)
+    report["db_bytes_compact"] = int(codes_host.nbytes)
     print(f"[100k] DB assembled: {n} x {s} "
-          f"({report['db_bytes']/1e9:.1f} GB) in {report['synth_seconds']}s",
-          flush=True)
+          f"({report['db_bytes']/1e9:.1f} GB u64, "
+          f"{report['db_bytes_compact']/1e9:.1f} GB compact device-"
+          f"resident) in {report['synth_seconds']}s", flush=True)
 
-    # --- phase A: rectangular dist, 256 queries vs the full DB
+    # --- phase A: rectangular dist, 256 queries vs the full DB on the
+    # device-resident compact table (the r4 u64 host-plane form measured
+    # 109k pairs/s, tunnel-bound streaming 8.2 GB at ~25 MB/s)
     nq = args.queries
     ident_ok = spot_ok = True
+    bias_ok = True
     if args.skip_dist:
         report["dist_skipped"] = True
     else:
-        q_idx = SketchIndex(params, names[:nq], hi[:nq].copy(), lo[:nq].copy())
+        os.environ.setdefault("MIEKKI_INTERSECT", "mxu")
+        q32 = SketchIndex(params32, names[:nq], codes_host[:nq].copy(),
+                          C.lo_plane_np(codes_host[:nq]))
+        q32.device_planes = dev_codes[:nq]
         T = args.tile
-        sh = np.zeros((nq, n), np.int32)
-        un = np.zeros((nq, n), np.int32)
-        it = np.zeros((nq, n), np.int32)
         t0 = time.time()
-        n_tiles = -(-nq // T) * (-(-n // T))
-        for ti, (bi, bj, gi, gj, tsh, tun, tit) in enumerate(
-                engine.dist_tiles(q_idx, index, tile=T)):
-            sh[gi, gj], un[gi, gj], it[gi, gj] = tsh, tun, tit
-            if ti % 64 == 0:
-                print(f"[100k] dist tile {ti}/{n_tiles} "
-                      f"({time.time()-t0:.0f}s)", flush=True)
+        state = {"last": -1.0}
+
+        def progress(done, tot):
+            now = time.time()
+            if now - state["last"] > 30:
+                state["last"] = now
+                print(f"[100k] dist tile {done}/{tot} ({now-t0:.0f}s)",
+                      flush=True)
+
+        counts = engine.dist_counts_matrix(q32, index32, tile=T,
+                                           progress=progress)
+        sh, un, it = counts["shared"], counts["union"], counts["inter"]
         dt = time.time() - t0
         pairs = nq * n
         report["dist_pairs"] = pairs
         report["dist_seconds"] = round(dt, 1)
         report["dist_pairs_per_s"] = round(pairs / dt, 1)
-        print(f"[100k] dist: {pairs} pairs in {dt:.0f}s "
-              f"({pairs/dt/1e3:.1f}k pairs/s)", flush=True)
+        report["dist_form"] = "compact_device_resident"
+        print(f"[100k] dist (compact, device-resident): {pairs} pairs in "
+              f"{dt:.0f}s ({pairs/dt/1e3:.1f}k pairs/s)", flush=True)
 
         # identity invariant: query row i IS DB row i
-        sizes = index.sizes()[:nq]
+        sizes32 = index32.sizes()[:nq]
         ident_ok = (bool(np.array_equal(np.diagonal(sh[:, :nq]),
-                                        np.minimum(sizes, s)))
-                    and bool(np.array_equal(np.diagonal(it[:, :nq]), sizes)))
-        # spot parity vs the independent bitonic-XLA implementation
-        import jax.numpy as jnp
-
-        # 64-wide slices: the bitonic path pads s to pow2 (32768 lanes) and
-        # broadcasts [ROW_GROUP, Tc, 32768] temps — Tc=256 OOMs the 16 GB
-        # HBM, 64 fits comfortably
+                                        np.minimum(sizes32, s)))
+                    and bool(np.array_equal(np.diagonal(it[:, :nq]),
+                                            sizes32)))
+        # spot parity vs the independent compact bitonic-XLA impl
         rv = np.random.default_rng(11)
         V = 64
+        bias_max = 0
+        bias_sum = 0.0
+        bias_pairs = 0
         for _ in range(4):
             bj = int(rv.integers(0, n // V))
             c0, c1 = bj * V, (bj + 1) * V
-            out = I.tile_counts(
-                (jnp.asarray(hi[:V]), jnp.asarray(lo[:V])),
-                (jnp.asarray(hi[c0:c1]), jnp.asarray(lo[c0:c1])), s,
-                impl="bitonic")
+            out = I.tile_counts_compact(
+                jnp.asarray(codes_host[:V]),
+                jnp.asarray(codes_host[c0:c1]), s, "bitonic")
             spot_ok &= bool(np.array_equal(np.asarray(out["shared_in_x"]),
                                            sh[:V, c0:c1]))
             spot_ok &= bool(np.array_equal(np.asarray(out["union_size"]),
                                            un[:V, c0:c1]))
             spot_ok &= bool(np.array_equal(np.asarray(out["inter_full"]),
                                            it[:V, c0:c1]))
+            # compact-vs-u64 collision bias at scale (VERDICT r4 #4): the
+            # spurious shared count must stay ~O(3) per pair (ops/compact
+            # collision math), far under bottom-s sampling noise
+            ref = I.tile_counts(
+                (jnp.asarray(hi[:V]), jnp.asarray(lo[:V])),
+                (jnp.asarray(hi[c0:c1]), jnp.asarray(lo[c0:c1])), s,
+                impl="bitonic")
+            d = (sh[:V, c0:c1].astype(np.int64)
+                 - np.asarray(ref["shared_in_x"]).astype(np.int64))
+            bias_max = max(bias_max, int(np.abs(d).max()))
+            bias_sum += float(np.abs(d).sum())
+            bias_pairs += d.size
         report["dist_identity_ok"] = ident_ok
         report["dist_bitonic_spots_ok"] = bool(spot_ok)
-        print(f"[100k] dist identity={ident_ok} bitonic_spots={spot_ok}",
-              flush=True)
+        report["compact_bias_max_shared_delta"] = bias_max
+        report["compact_bias_mean_shared_delta"] = round(
+            bias_sum / bias_pairs, 4)
+        bias_ok = bias_max <= 32  # >> expected ~3, << s=10k noise ~500
+        report["compact_bias_ok"] = bool(bias_ok)
+        print(f"[100k] dist identity={ident_ok} spots={spot_ok} "
+              f"bias_max={bias_max} bias_mean="
+              f"{report['compact_bias_mean_shared_delta']}", flush=True)
         del sh, un, it
+
+        if args.dist_u64:
+            q_idx = SketchIndex(params, names[:nq], hi[:nq].copy(),
+                                lo[:nq].copy())
+            t0 = time.time()
+            counts = engine.dist_counts_matrix(q_idx, index, tile=T,
+                                               progress=progress)
+            dt = time.time() - t0
+            report["dist_u64_seconds"] = round(dt, 1)
+            report["dist_u64_pairs_per_s"] = round(pairs / dt, 1)
+            print(f"[100k] dist (u64 host planes): {pairs} pairs in "
+                  f"{dt:.0f}s ({pairs/dt/1e3:.1f}k/s)", flush=True)
+            del counts
 
     # --- phase B: production screen vs the 102,400-genome DB
     sources = [0, 1, 7]
@@ -227,7 +319,7 @@ def main() -> int:
           f"others_max={others_max:.2e} survivor_rate="
           f"{stats.get('survivor_rate'):.4f}", flush=True)
 
-    report["pass"] = bool(ident_ok and spot_ok and top_ok
+    report["pass"] = bool(ident_ok and spot_ok and bias_ok and top_ok
                           and others_max < 0.01)
     report["total_seconds"] = round(time.time() - t_start, 1)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
