@@ -114,6 +114,11 @@ def main() -> int:
     from pathlib import Path
 
     import jax
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor a CPU
+    # request through the config API (same idiom as the other tools)
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from miekki_tpu.utils import compile_cache
@@ -236,7 +241,7 @@ def main() -> int:
                                             sizes32)))
         # spot parity vs the independent compact bitonic-XLA impl
         rv = np.random.default_rng(11)
-        V = 64
+        V = min(64, nq)
         bias_max = 0
         bias_sum = 0.0
         bias_pairs = 0
