@@ -651,7 +651,10 @@ def dist_tiles(
     # cost on the sustained path.  Group G mxu tiles' packed flats into
     # one stacked device array and pull them together: fixed cost /G.
     # Only the mxu handle shape supports it (flat device array first).
-    group_n = int(_os.environ.get("MIEKKI_PULL_GROUP", "4")) if mxu else 1
+    # depth 0 promises synchronous dispatch→finish order (debugging);
+    # grouping would put up to G tiles in flight, so it disables grouping.
+    group_n = (int(_os.environ.get("MIEKKI_PULL_GROUP", "4"))
+               if mxu and depth > 0 else 1)
     max_pending = max(1, depth // group_n) if group_n > 1 else depth
 
     def flush(cur):
