@@ -657,6 +657,17 @@ def dist_tiles(
                if mxu and depth > 0 else 1)
     max_pending = max(1, depth // group_n) if group_n > 1 else depth
 
+    # MIEKKI_PRESORT=1 (opt-in, measurement lever — NEXT_ROUND r4 #3):
+    # dispatch every block's stream sort before tile 0 so no tile pass
+    # ever waits on a first-touch sort.  Only when every block fits the
+    # cache (pre-building past cache_cap would evict blocks before use).
+    if (mxu and _os.environ.get("MIEKKI_PRESORT", "0") == "1"
+            and (nb_a if self_compare else nb_a + nb_b) <= cache_cap):
+        for b in range(nb_a):
+            row_block(b)
+        for b in range(nb_b):
+            col_block(b)
+
     def flush(cur):
         if len(cur) == 1 or group_n <= 1:
             return ("single", cur)
