@@ -294,6 +294,15 @@ def main() -> int:
                   f"{dt:.0f}s ({pairs/dt/1e3:.1f}k/s)", flush=True)
             del counts
 
+    # Free the device-resident compact table before the screen phase: the
+    # grouped screen holds the u64 flat planes (8.2 GB) + hit bitmap on
+    # device, and keeping the 4.1 GB code table alive alongside would
+    # overcommit the 16 GB chip.
+    index32.device_planes = None
+    del dev_codes
+    if not args.skip_dist:
+        q32.device_planes = None
+
     # --- phase B: production screen vs the 102,400-genome DB
     sources = [0, 1, 7]
     reads = []
