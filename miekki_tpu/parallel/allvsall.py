@@ -594,6 +594,35 @@ def dist_sharded_hostring(
                 start_t = t + 1
                 break
 
+    # In-flight window: each pending handle retains its sliced plane
+    # blocks (~4 x tile x sp bytes) until pulled, so dispatching a whole
+    # step's n_sub² x D tiles before pulling any held GIGABYTES of live
+    # buffers at config-5 scale (observed: 26 GB RSS + allocator churn on
+    # the CPU backend, ~3x slower per tile than the small-n probe).  A
+    # bounded window keeps D tiles per device in flight — enough to
+    # saturate every device queue, memory O(window).
+    import os as _os4
+
+    window = max(2 * D, int(_os4.environ.get("MIEKKI_HOSTRING_WINDOW",
+                                             str(8 * D))))
+    from collections import deque
+
+    pend: deque = deque()
+
+    def pull_one():
+        d, o, i, j, h = pend.popleft()
+        res, ai, aj = _mxu.tile_counts_mxu_finish_deferred(h)
+        r0 = d * nl_a + i * tile
+        c0 = o * nl_b + j * tile
+        shared[r0:r0 + tile, c0:c0 + tile] = res["shared_in_x"]
+        inter[r0:r0 + tile, c0:c0 + tile] = res["inter_full"]
+        if ai.size:
+            gi = r0 + ai
+            gj = c0 + aj
+            keep = (gi < n_a) & (gj < n_b)
+            amb_i_all.append(gi[keep])
+            amb_j_all.append(gj[keep])
+
     for t in range(D):
         if t < start_t:
             # resume: replay only the column rotation (cheap device
@@ -605,37 +634,29 @@ def dist_sharded_hostring(
                                               devices[d]) for d in range(D)]
                 col_origin = [col_origin[(d - 1) % D] for d in range(D)]
             continue
-        handles = []
-        for d in range(D):
-            o = col_origin[d]
-            rp = row_planes[d]
-            cp = col_planes[d]
-            for i in range(n_sub_a):
-                for j in range(n_sub_b):
-                    h = start(sub(rp, i), sub(cp, j),
-                              row_streams[d][i], col_streams[d][j])
-                    handles.append((d, o, i, j, h))
+        # interleave devices (d innermost) so every device's queue fills
+        # early, then keep the window topped up
+        cur_cols = col_planes
+        cur_streams = col_streams
+        cur_origin = col_origin
+        for i in range(n_sub_a):
+            for j in range(n_sub_b):
+                for d in range(D):
+                    h = start(sub(row_planes[d], i), sub(cur_cols[d], j),
+                              row_streams[d][i], cur_streams[d][j])
+                    pend.append((d, cur_origin[d], i, j, h))
+                    while len(pend) > window:
+                        pull_one()
         if t + 1 < D:
             # Rotate the column state for step t+1 NOW (async device-to-
-            # device copies overlap both this step's compute and the
-            # pulls below).
+            # device copies overlap the window drain below).
             col_planes = [jax.device_put(col_planes[(d - 1) % D],
                                          devices[d]) for d in range(D)]
             col_streams = [jax.device_put(col_streams[(d - 1) % D],
                                           devices[d]) for d in range(D)]
             col_origin = [col_origin[(d - 1) % D] for d in range(D)]
-        for d, o, i, j, h in handles:
-            res, ai, aj = _mxu.tile_counts_mxu_finish_deferred(h)
-            r0 = d * nl_a + i * tile
-            c0 = o * nl_b + j * tile
-            shared[r0:r0 + tile, c0:c0 + tile] = res["shared_in_x"]
-            inter[r0:r0 + tile, c0:c0 + tile] = res["inter_full"]
-            if ai.size:
-                gi = r0 + ai
-                gj = c0 + aj
-                keep = (gi < n_a) & (gj < n_b)
-                amb_i_all.append(gi[keep])
-                amb_j_all.append(gj[keep])
+        while pend:
+            pull_one()
         if checkpoint:
             import os as _os3
 

@@ -305,3 +305,27 @@ def test_dist_sharded_routes_hostring(family_index, monkeypatch):
     ref = dist_sharded(idx, mesh)
     for k in ("shared", "union", "inter"):
         assert np.array_equal(ref[k], got[k]), k
+
+
+def test_hostring_checkpoint_resume(family_index, tmp_path):
+    """Per-step checkpoints (r5): a run killed after step k and resumed
+    from the checkpoint dir must be bitwise-identical to the uncheckpointed
+    run (the resume replays only the column rotations)."""
+    import os
+
+    from miekki_tpu.parallel.allvsall import dist_sharded_hostring
+
+    idx = family_index
+    ref = dist_sharded_hostring(idx, mxu_tile=3)
+    d = str(tmp_path / "ckpt")
+    full = dist_sharded_hostring(idx, mxu_tile=3, checkpoint=d)
+    n_dev = len(jax.devices())
+    # simulate a crash: drop the last half of the step checkpoints
+    for t in range(n_dev // 2, n_dev):
+        p = os.path.join(d, f"hostring_step{t}.npz")
+        if os.path.exists(p):
+            os.remove(p)
+    resumed = dist_sharded_hostring(idx, mxu_tile=3, checkpoint=d)
+    for k in ("shared", "union", "inter"):
+        assert np.array_equal(ref[k], full[k]), ("full", k)
+        assert np.array_equal(ref[k], resumed[k]), ("resumed", k)
