@@ -144,6 +144,8 @@ def _family_index(n: int, s: int, seed: int = 1, compact: bool = False):
                       np.asarray(dev_hi), np.asarray(dev_lo))
     if compact:
         idx = idx.to_compact()
+        # single code-plane device residency (r5 dist_tiles support)
+        idx.device_planes = jnp.asarray(idx.hi)
     else:
         idx.device_planes = (dev_hi, dev_lo)
     return idx
