@@ -6,8 +6,18 @@ Must run before the first `import jax` anywhere in the test session.
 """
 
 import os
+import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # the shell presets axon (TPU)
+
+# Isolate the persistent compile cache: CLI tests call entry points that
+# enable() it, and sharing ~/.cache/miekki_jax_cache with a concurrently
+# running TPU tool has produced a segfault inside jax's cache writer
+# (zstd write race, observed 2026-08-21).  A per-session temp dir keeps
+# tests hermetic and the production cache unpolluted.
+os.environ.setdefault(
+    "MIEKKI_COMPILE_CACHE", tempfile.mkdtemp(prefix="miekki_test_cache_")
+)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -86,7 +86,10 @@ def main() -> int:
         # for free from the builder).  Reported separately.
         t0 = time.time()
         idx.device_planes = (jnp.asarray(idx.hi), jnp.asarray(idx.lo))
-        jax.block_until_ready(idx.device_planes)
+        # jnp.asarray is LAZY on this platform and block_until_ready does
+        # not force the copy (docs/DESIGN.md r4) — consume a reduction so
+        # the transfer genuinely lands here, not inside the compare loop.
+        _ = (int(idx.device_planes[0].sum()), int(idx.device_planes[1].sum()))
         report["db_upload_seconds"] = round(time.time() - t0, 1)
         print(f"[10k] uploaded DB planes in {report['db_upload_seconds']}s",
               flush=True)
