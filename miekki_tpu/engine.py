@@ -11,6 +11,7 @@ distance tables are therefore bitwise-reproducible across backends
 from __future__ import annotations
 
 import os
+import time
 from functools import partial
 from typing import Iterator, List, Optional, Sequence
 
@@ -1247,6 +1248,27 @@ def _screen_chunk() -> int:
 SCREEN_CHUNK = 32768
 
 
+def _stable_argsort_u64(flat: np.ndarray) -> np.ndarray:
+    """Stable argsort of a u64 array, multi-threaded when torch is usable.
+
+    np.argsort is single-threaded — 463 s of the 933 s config-5-scale
+    screen wall went to argsorting the 1.024G-value flat DB (measured
+    2026-08-21, phase_seconds instrumentation).  torch.argsort(stable)
+    parallelizes across cores; u64 order maps to i64 order by flipping
+    the sign bit (a monotone bijection), so the permutation is identical.
+    """
+    if len(flat) >= (1 << 20):
+        try:
+            import torch
+
+            as_i64 = (flat ^ np.uint64(1 << 63)).view(np.int64)
+            return torch.argsort(torch.from_numpy(as_i64),
+                                 stable=True).numpy()
+        except Exception:  # pragma: no cover - torch is baked in
+            pass
+    return np.argsort(flat, kind="stable")
+
+
 def _flatten_db(index: SketchIndex):
     """Value-sorted flat view of all sketch hashes + genome-id map (host)."""
     vals = []
@@ -1259,7 +1281,7 @@ def _flatten_db(index: SketchIndex):
         return np.zeros(0, np.uint64), np.zeros(0, np.int32)
     flat = np.concatenate(vals)
     gid = np.concatenate(gids)
-    order = np.argsort(flat, kind="stable")
+    order = _stable_argsort_u64(flat)
     return flat[order], gid[order]
 
 
@@ -1660,9 +1682,23 @@ def _hits_from_bitmap(flat_vals: np.ndarray, gid: np.ndarray,
     propagate marks across runs before counting.
     """
     hit_first = acc[:-1]
-    first_occ = np.searchsorted(flat_vals, flat_vals, side="left")
-    hit_all = hit_first[first_occ]
+    hit_all = hit_first[_first_occ_idx(flat_vals)]
     return np.bincount(gid[hit_all], minlength=n_genomes).astype(np.int64)
+
+
+def _first_occ_idx(flat_vals: np.ndarray) -> np.ndarray:
+    """Index of the first slot of each equal-value run, per slot.
+
+    Equivalent to np.searchsorted(flat_vals, flat_vals, "left") on sorted
+    input, but via linear run-boundary passes instead of an n·log n
+    self-search — the searchsorted form cost 71 s of the config-5-scale
+    screen wall at 1.024G values (measured 2026-08-21)."""
+    if len(flat_vals) == 0:
+        return np.zeros(0, np.int64)
+    newrun = np.concatenate([[True], flat_vals[1:] != flat_vals[:-1]])
+    starts = np.flatnonzero(newrun)
+    run_id = np.cumsum(newrun) - 1
+    return starts[run_id]
 
 
 def _hits_winner_takes_all(flat_vals: np.ndarray, gid: np.ndarray,
@@ -1749,6 +1785,23 @@ def _screen_db_value_budget() -> int:
     return _hbm.screen_merge_value_budget()
 
 
+@jax.jit
+def _packbits_device(acc):
+    return jnp.packbits(acc)
+
+
+def _pull_bitmap(acc) -> np.ndarray:
+    """Device bool bitmap → host, transferred as PACKED BITS.
+
+    Pulling the raw bool acc moves 1 B/slot through the ~30 MB/s
+    device→host tunnel (34.6 s at config-5 scale, measured 2026-08-21);
+    packbits on device moves 1 bit/slot (8x less) and np.unpackbits
+    restores the exact array."""
+    n = acc.shape[0]
+    packed = np.asarray(_packbits_device(acc))
+    return np.unpackbits(packed)[:n].astype(np.bool_)
+
+
 def _screen_bitmap(index: SketchIndex, reads_path, flat: int,
                    stats: Optional[dict], kmv: Optional[list] = None):
     """Shared screen core: stream every read batch against the flat
@@ -1787,7 +1840,7 @@ def _screen_bitmap(index: SketchIndex, reads_path, flat: int,
             n_batches=len(counters),
             survivor_rate=tot_surv / tot_windows if tot_windows else 0.0,
         )
-    return flat_vals, gid, np.asarray(acc)
+    return flat_vals, gid, _pull_bitmap(acc)
 
 
 def screen(
@@ -1882,12 +1935,17 @@ def _screen_slabbed(index: SketchIndex, reads_path, flat: int, winner: bool,
     agg: dict = {}
     chunk = _screen_chunk()
     kmv_done = False
+    timings: dict = {"flatten_s": 0.0, "stream_s": 0.0, "acc_pull_s": 0.0,
+                     "hits_s": 0.0}
     for i0, i1 in groups:
+        t_ph = time.perf_counter()
         sub = SketchIndex(index.params, index.names[i0:i1],
                           index.hi[i0:i1], index.lo[i0:i1])
         flat_vals, gid = _flatten_db(sub)
+        timings["flatten_s"] += time.perf_counter() - t_ph
         if len(flat_vals) == 0:
             continue
+        t_ph = time.perf_counter()
         db_hi = jnp.asarray((flat_vals >> np.uint64(32)).astype(np.uint32))
         db_lo = jnp.asarray(
             (flat_vals & np.uint64(0xFFFFFFFF)).astype(np.uint32))
@@ -1908,6 +1966,7 @@ def _screen_slabbed(index: SketchIndex, reads_path, flat: int, winner: bool,
                     kmv[0] = _kmv_update(*kmv[0], dev_batch, k, _KMV_S0)
                 counters.append((n_valid, n_keep))
         kmv_done = True
+        timings["stream_s"] += time.perf_counter() - t_ph
         if stats is not None:
             surv = sum(int(s_) for _, s_ in counters)
             if not agg:
@@ -1916,16 +1975,21 @@ def _screen_slabbed(index: SketchIndex, reads_path, flat: int, winner: bool,
                     n_survivors=surv, n_batches=len(counters))
             else:
                 agg["n_survivors"] += surv
-        acc_np = np.asarray(acc)
+        t_ph = time.perf_counter()
+        acc_np = _pull_bitmap(acc)
+        timings["acc_pull_s"] += time.perf_counter() - t_ph
+        t_ph = time.perf_counter()
         if winner:
             # per-group hit marks propagated across equal-value runs;
             # global arbitration happens after the loop
             hit_first = acc_np[:-1]
-            first_occ = np.searchsorted(flat_vals, flat_vals, side="left")
-            win_parts.append((flat_vals, gid + i0, hit_first[first_occ]))
+            win_parts.append((flat_vals, gid + i0,
+                              hit_first[_first_occ_idx(flat_vals)]))
         else:
             hits[i0:i1] = _hits_from_bitmap(flat_vals, gid, acc_np, i1 - i0)
+        timings["hits_s"] += time.perf_counter() - t_ph
     if stats is not None and agg:
+        agg["phase_seconds"] = {p: round(v, 1) for p, v in timings.items()}
         agg["n_slabs"] = len(groups)
         agg["survivor_rate"] = (agg["n_survivors"]
                                 / (agg["n_windows"] * len(groups))

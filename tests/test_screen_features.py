@@ -366,3 +366,30 @@ def test_screen_slabbed_bitwise_parity(tmp_path, monkeypatch):
         monkeypatch.delenv("MIEKKI_SCREEN_DB_VALS")
         assert got == ref, winner
         assert stats_slab.get("n_slabs", 0) >= 2
+
+
+def test_screen_hotpath_helper_parity():
+    """The r5 screen host-cost fixes must be drop-in order/value identical:
+    _stable_argsort_u64 == np stable argsort (incl. ties and >=2^63
+    values), _first_occ_idx == the self-searchsorted it replaced, and the
+    packed-bit bitmap pull round-trips exactly (measured costs they
+    replace at config-5 scale: 463 s / 71 s / 34.6 s — docs/DESIGN.md r5)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from miekki_tpu import engine
+
+    r = np.random.default_rng(5)
+    v = r.integers(0, 1 << 64, size=200_000, dtype=np.uint64)
+    v[::7] = v[0]  # equal-value runs spanning the sign bit
+    v[1::11] = np.uint64(1 << 63)
+    big = np.concatenate([v] * 6)  # > the 1<<20 torch-path threshold
+    assert np.array_equal(engine._stable_argsort_u64(big),
+                          np.argsort(big, kind="stable"))
+    sv = np.sort(v)
+    assert np.array_equal(engine._first_occ_idx(sv),
+                          np.searchsorted(sv, sv, side="left"))
+    acc = r.random(12_345) < 0.3
+    assert np.array_equal(engine._pull_bitmap(jnp.asarray(acc)), acc)
+    assert np.array_equal(engine._first_occ_idx(np.zeros(0, np.uint64)),
+                          np.zeros(0, np.int64))
