@@ -1787,7 +1787,17 @@ def _screen_db_value_budget() -> int:
 
 @jax.jit
 def _packbits_device(acc):
-    return jnp.packbits(acc)
+    # NOT jnp.packbits: its [n/8, 8] reshape gets a 16x TPU tile-padding
+    # blowup (15.26 GB temp at 1.024G slots — OOM'd on the chip,
+    # 2026-08-21).  Eight strided 1-D slices stay unpadded; byte layout
+    # matches np.unpackbits (bitorder "big").
+    n = acc.shape[0]
+    n_pad = -(-n // 8) * 8
+    a = jnp.zeros(n_pad, jnp.uint8).at[:n].set(acc.astype(jnp.uint8))
+    word = jnp.zeros(n_pad // 8, jnp.uint8)
+    for j in range(8):
+        word = word | (a[j::8] << (7 - j))
+    return word
 
 
 def _pull_bitmap(acc) -> np.ndarray:
